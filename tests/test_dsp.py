@@ -1,0 +1,182 @@
+"""Golden tests: JAX DSP kernels vs the independent NumPy reference."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tpuvae.config import AdvancedPreprocessConfig, PreprocessConfig
+from tpuvae.dsp import (
+    chroma_batch,
+    dct_ii_ortho,
+    estimate_tuning_from_power,
+    extract_basic_features,
+    extract_flat_features,
+    extract_mel_image,
+    mel_db_ref_max,
+    mel_filterbank,
+    mel_power_from_stft,
+    mfcc_from_mel_power,
+    power_to_db,
+    rms,
+    spectral_bandwidth,
+    spectral_centroid,
+    spectral_rolloff,
+    stft_power,
+    zero_crossing_rate,
+)
+from tpuvae.dsp.primitives import fft_frequencies
+
+import reference_dsp as ref
+
+
+N_FFT, HOP = 2048, 512
+
+
+def test_stft_power_matches_reference(audio_batch):
+    y, sr = audio_batch
+    got = np.asarray(stft_power(jnp.asarray(y), N_FFT, HOP))
+    for i in range(y.shape[0]):
+        want = ref.stft_mag(y[i].astype(np.float64), N_FFT, HOP) ** 2
+        np.testing.assert_allclose(got[i], want, rtol=1e-3, atol=1e-3)
+
+
+def test_stft_dft_matmul_path_matches_fft_path(audio_batch):
+    y, sr = audio_batch
+    a = np.asarray(stft_power(jnp.asarray(y[:2]), N_FFT, HOP, method="fft"))
+    b = np.asarray(stft_power(jnp.asarray(y[:2]), N_FFT, HOP, method="dft"))
+    # fp32 dense-matmul accumulation noise; downstream dB flooring hides it
+    np.testing.assert_allclose(a, b, rtol=5e-2, atol=0.5)
+
+
+def test_stft_small_against_direct_dft(rng):
+    """Tiny n_fft sanity check against a literal O(n^2) DFT."""
+    y = rng.standard_normal((1, 256)).astype(np.float32)
+    n_fft, hop = 64, 16
+    got = np.asarray(stft_power(jnp.asarray(y), n_fft, hop))[0]
+    half = n_fft // 2
+    y_pad = np.pad(y[0], (half, half))
+    w = ref.hann(n_fft)
+    n = 1 + y.shape[1] // hop
+    for t in range(n):
+        fr = y_pad[t * hop : t * hop + n_fft] * w
+        direct = np.array(
+            [np.sum(fr * np.exp(-2j * np.pi * k * np.arange(n_fft) / n_fft))
+             for k in range(half + 1)]
+        )
+        np.testing.assert_allclose(got[:, t], np.abs(direct) ** 2, rtol=1e-3, atol=1e-5)
+
+
+def test_mel_filterbank_matches_reference():
+    got = mel_filterbank(22050, N_FFT, 128)
+    want = ref.mel_fb(22050, N_FFT, 128)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+
+
+def test_mel_db_and_mfcc(audio_batch):
+    y, sr = audio_batch
+    s = stft_power(jnp.asarray(y), N_FFT, HOP)
+    mel_p = mel_power_from_stft(s, sr, N_FFT, 128)
+    got_db = np.asarray(mel_db_ref_max(mel_p))
+    got_mfcc = np.asarray(mfcc_from_mel_power(mel_p, 40))
+    for i in range(y.shape[0]):
+        want_db = ref.power_to_db(ref.melspec(y[i].astype(np.float64), sr), ref="max")
+        np.testing.assert_allclose(got_db[i], want_db, rtol=1e-3, atol=2e-2)
+        want_mfcc = ref.mfcc(y[i].astype(np.float64), sr)
+        # fp32 noise floor shifts unfloored dB bins; coeffs span ±500
+        np.testing.assert_allclose(got_mfcc[i], want_mfcc, rtol=1e-2, atol=1.0)
+
+
+def test_spectral_features(audio_batch):
+    y, sr = audio_batch
+    s = stft_power(jnp.asarray(y), N_FFT, HOP)
+    s_mag = jnp.sqrt(s)
+    freqs = jnp.asarray(fft_frequencies(sr, N_FFT))
+    got_c = np.asarray(spectral_centroid(s_mag, freqs))
+    got_b = np.asarray(spectral_bandwidth(s_mag, freqs, jnp.asarray(got_c)))
+    got_r = np.asarray(spectral_rolloff(s_mag, freqs))
+    for i in range(y.shape[0]):
+        # float32 input keeps the reference's FFT noise floor aligned with
+        # the framework's (librosa is float32 too); near-silent bins dominate
+        # bandwidth for pure tones otherwise.
+        yd = y[i]
+        np.testing.assert_allclose(got_c[i], ref.centroid(yd, sr), rtol=1e-3, atol=1e-1)
+        np.testing.assert_allclose(got_b[i], ref.bandwidth(yd, sr), rtol=5e-3, atol=2.0)
+        np.testing.assert_allclose(got_r[i], ref.rolloff(yd, sr), rtol=1e-3, atol=11.0)
+
+
+def test_time_domain_features(audio_batch):
+    y, sr = audio_batch
+    got_z = np.asarray(zero_crossing_rate(jnp.asarray(y), N_FFT, HOP))
+    got_r = np.asarray(rms(jnp.asarray(y), N_FFT, HOP))
+    for i in range(y.shape[0]):
+        np.testing.assert_allclose(got_z[i], ref.zcr(y[i], N_FFT, HOP), atol=1e-6)
+        np.testing.assert_allclose(got_r[i], ref.rms(y[i], N_FFT, HOP), rtol=1e-4, atol=1e-6)
+
+
+def test_chroma_fixed_tuning(audio_batch):
+    y, sr = audio_batch
+    s = stft_power(jnp.asarray(y), N_FFT, HOP)
+    got = np.asarray(chroma_batch(s, sr, N_FFT, tuning=0.0))
+    for i in range(y.shape[0]):
+        want = ref.chroma_stft(y[i].astype(np.float64), sr, tuning=0.0)
+        np.testing.assert_allclose(got[i], want, rtol=1e-2, atol=2e-2)
+
+
+def test_tuning_estimation(audio_batch):
+    y, sr = audio_batch
+    s = np.asarray(stft_power(jnp.asarray(y), N_FFT, HOP))
+    for i in range(3):  # tonal clips only; noise tuning is arbitrary
+        got = float(estimate_tuning_from_power(jnp.asarray(s[i]), sr, N_FFT))
+        want = ref.estimate_tuning(
+            ref.stft_mag(y[i].astype(np.float64), N_FFT, HOP) ** 2, sr, N_FFT
+        )
+        assert abs(got - want) <= 0.011, (i, got, want)
+
+
+def test_extract_basic_features_end_to_end(audio_batch):
+    y, sr = audio_batch
+    cfg = PreprocessConfig()
+    got = np.asarray(extract_basic_features(jnp.asarray(y), cfg))
+    assert got.shape == (y.shape[0], 370)
+    for i in range(y.shape[0]):
+        want = ref.basic_feature_vector(y[i].astype(np.float64), sr)
+        # dB-domain stats tolerate small fp32-vs-fp64 shifts
+        np.testing.assert_allclose(got[i], want, rtol=5e-2, atol=2e-1)
+
+
+def test_extract_mel_image_shape_and_padding(audio_batch):
+    y, sr = audio_batch
+    cfg = AdvancedPreprocessConfig(fixed_time_steps=64)
+    img = np.asarray(extract_mel_image(jnp.asarray(y), cfg))
+    assert img.shape == (y.shape[0], 128, 64)
+    cfg_pad = AdvancedPreprocessConfig(fixed_time_steps=100)
+    img2 = np.asarray(extract_mel_image(jnp.asarray(y), cfg_pad))
+    n_native = 1 + y.shape[1] // HOP  # 44 frames for 1s clips
+    # padded region equals the per-clip min
+    for i in range(y.shape[0]):
+        assert np.allclose(img2[i, :, n_native:], img2[i].min())
+
+
+def test_extract_flat_features_shape(audio_batch):
+    y, sr = audio_batch
+    cfg = AdvancedPreprocessConfig()
+    flat = np.asarray(extract_flat_features(jnp.asarray(y), cfg))
+    assert flat.shape == (y.shape[0], 290)
+    assert np.isfinite(flat).all()
+
+
+def test_dct_matches_scipy():
+    from scipy.fftpack import dct
+
+    x = np.random.default_rng(0).standard_normal((128, 7)).astype(np.float32)
+    got = np.asarray(dct_ii_ortho(jnp.asarray(x), 40, axis=-2))
+    want = dct(x, axis=0, type=2, norm="ortho")[:40]
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_power_to_db_flooring():
+    s = jnp.asarray(np.array([[[1e-12, 1.0, 100.0]]]))
+    out = np.asarray(power_to_db(s, ref="max"))
+    assert out.max() == 0.0
+    assert out.min() >= -80.0

@@ -1,0 +1,176 @@
+"""Chroma features with on-device tuning estimation.
+
+Replicates ``librosa.feature.chroma_stft`` (reference call sites
+``src/1_preprocessing.py:94-102`` and ``src/1_preprocessing_advanced.py:139-141``)
+including the implicit per-clip tuning estimation librosa performs when
+``tuning=None``: parabolic-interpolation pitch tracking (piptrack), masked
+median thresholding, and a 100-bin histogram vote over residuals.  Everything
+is fixed-shape JAX so whole batches of clips run as one XLA program; the
+tuning-dependent chroma filterbank is rebuilt in-graph per clip (it is a
+cheap elementwise function of one scalar).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tpuvae.dsp.primitives import fft_frequencies, normalize_inf
+
+
+def _hz_to_octs(freq, tuning=0.0, bins_per_octave=12):
+    a440 = 440.0 * 2.0 ** (tuning / bins_per_octave)
+    return jnp.log2(16.0 * freq / a440)
+
+
+def chroma_filterbank(
+    sr: int,
+    n_fft: int,
+    tuning,
+    n_chroma: int = 12,
+    ctroct: float = 5.0,
+    octwidth: float = 2.0,
+) -> jnp.ndarray:
+    """librosa.filters.chroma as a JAX function of a (possibly traced) tuning.
+
+    Returns ``(n_chroma, 1 + n_fft//2)`` with L2-normalized columns, Gaussian
+    octave weighting, and the base-C roll.
+    """
+    frequencies = np.linspace(0, sr, n_fft, endpoint=False)[1:]
+    frqbins = n_chroma * _hz_to_octs(
+        jnp.asarray(frequencies, dtype=jnp.float32), tuning, n_chroma
+    )
+    frqbins = jnp.concatenate([frqbins[:1] - 1.5 * n_chroma, frqbins])
+    binwidth = jnp.concatenate(
+        [jnp.maximum(frqbins[1:] - frqbins[:-1], 1.0), jnp.ones((1,))]
+    )
+    d = frqbins[None, :] - jnp.arange(n_chroma, dtype=jnp.float32)[:, None]
+    half = round(n_chroma / 2)
+    d = jnp.remainder(d + half + 10 * n_chroma, n_chroma) - half
+    wts = jnp.exp(-0.5 * (2.0 * d / binwidth[None, :]) ** 2)
+    # L2-normalize each fft-bin column (librosa.util.normalize norm=2 axis=0)
+    length = jnp.sqrt(jnp.sum(wts**2, axis=0, keepdims=True))
+    length = jnp.where(length < np.finfo(np.float32).tiny, 1.0, length)
+    wts = wts / length
+    wts = wts * jnp.exp(
+        -0.5 * (((frqbins / n_chroma - ctroct) / octwidth) ** 2)
+    )[None, :]
+    wts = jnp.roll(wts, -3 * (n_chroma // 12), axis=0)
+    return wts[:, : 1 + n_fft // 2]
+
+
+def _localmax(x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """librosa.util.localmax: strictly greater than left, >= right (edge pad)."""
+    x = jnp.moveaxis(x, axis, 0)
+    left = jnp.concatenate([x[:1], x[:-1]], axis=0)
+    right = jnp.concatenate([x[1:], x[-1:]], axis=0)
+    out = (x > left) & (x >= right)
+    return jnp.moveaxis(out, 0, axis)
+
+
+def piptrack_from_power(
+    s_power: jnp.ndarray,
+    sr: int,
+    n_fft: int,
+    fmin: float = 150.0,
+    fmax: float = 4000.0,
+    threshold: float = 0.1,
+):
+    """librosa.piptrack on a single-clip spectrogram ``(n_bins, n_frames)``.
+
+    Returns (pitches, mags) of the same shape, zero where no pitch detected.
+    Note chroma_stft feeds the *power* spectrogram to piptrack, matching the
+    reference's implicit behavior.
+    """
+    s = s_power
+    avg = 0.5 * (s[2:, :] - s[:-2, :])
+    shift_den = 2 * s[1:-1, :] - s[2:, :] - s[:-2, :]
+    tiny = np.finfo(np.float32).tiny
+    shift = avg / (shift_den + jnp.where(jnp.abs(shift_den) < tiny, 1.0, 0.0))
+    avg = jnp.pad(avg, ((1, 1), (0, 0)))
+    shift = jnp.pad(shift, ((1, 1), (0, 0)))
+    dskew = 0.5 * avg * shift
+
+    freqs = fft_frequencies(sr, n_fft)
+    freq_mask = jnp.asarray((fmin <= freqs) & (freqs < fmax))[:, None]
+    ref_value = threshold * jnp.max(s, axis=0, keepdims=True)
+    mask = freq_mask & _localmax(s * (s > ref_value), axis=0)
+
+    bins = jnp.arange(s.shape[0], dtype=jnp.float32)[:, None]
+    pitches = jnp.where(mask, (bins + shift) * (sr / n_fft), 0.0)
+    mags = jnp.where(mask, s + dskew, 0.0)
+    return pitches, mags
+
+
+def _masked_median(values: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Median of ``values[mask]`` (numpy convention), 0 if the mask is empty."""
+    v = jnp.where(mask, values, jnp.inf).ravel()
+    v = jnp.sort(v)
+    n = jnp.sum(mask)
+    lo = v[jnp.maximum((n - 1) // 2, 0)]
+    hi = v[jnp.maximum(n // 2, 0)]
+    med = 0.5 * (lo + hi)
+    return jnp.where(n > 0, med, 0.0)
+
+
+def estimate_tuning_from_power(
+    s_power: jnp.ndarray,
+    sr: int,
+    n_fft: int,
+    resolution: float = 0.01,
+    bins_per_octave: int = 12,
+) -> jnp.ndarray:
+    """librosa.estimate_tuning for one clip → scalar in [-0.5, 0.5) bins."""
+    pitches, mags = piptrack_from_power(s_power, sr, n_fft)
+    pitch_mask = pitches > 0
+    thresh = _masked_median(mags, pitch_mask)
+    sel = pitch_mask & (mags >= thresh)
+
+    safe_pitch = jnp.where(sel, pitches, 440.0)  # dummy value, masked out below
+    residual = jnp.mod(bins_per_octave * _hz_to_octs(safe_pitch), 1.0)
+    residual = jnp.where(residual >= 0.5, residual - 1.0, residual)
+
+    n_bins = int(np.ceil(1.0 / resolution))
+    edges = np.linspace(-0.5, 0.5, n_bins + 1, dtype=np.float32)
+    # np.histogram: right-inclusive only for the last bin
+    bucket = jnp.clip(
+        jnp.floor((residual + 0.5) / (edges[1] - edges[0])).astype(jnp.int32),
+        0,
+        n_bins - 1,
+    )
+    counts = jnp.zeros((n_bins,), jnp.int32).at[bucket.ravel()].add(
+        sel.ravel().astype(jnp.int32)
+    )
+    tuning = jnp.asarray(edges[:-1])[jnp.argmax(counts)]
+    return jnp.where(jnp.any(sel), tuning, 0.0)
+
+
+def chroma_from_power(
+    s_power: jnp.ndarray,
+    sr: int,
+    n_fft: int,
+    n_chroma: int = 12,
+    tuning=None,
+) -> jnp.ndarray:
+    """librosa.feature.chroma_stft for one clip ``(n_bins, n_frames)``.
+
+    ``tuning=None`` estimates tuning from the clip (librosa default).
+    Output is ``(n_chroma, n_frames)``, max-normalized per frame.
+    """
+    if tuning is None:
+        tuning = estimate_tuning_from_power(
+            s_power, sr, n_fft, bins_per_octave=n_chroma
+        )
+    fb = chroma_filterbank(sr, n_fft, tuning, n_chroma=n_chroma)
+    raw = jnp.einsum("cf,ft->ct", fb, s_power, preferred_element_type=jnp.float32)
+    return normalize_inf(raw, axis=0)
+
+
+def chroma_batch(
+    s_power: jnp.ndarray, sr: int, n_fft: int, n_chroma: int = 12, tuning=None
+) -> jnp.ndarray:
+    """Batched chroma ``(B, n_bins, T) → (B, n_chroma, T)`` via vmap."""
+    return jax.vmap(
+        lambda s: chroma_from_power(s, sr, n_fft, n_chroma=n_chroma, tuning=tuning)
+    )(s_power)

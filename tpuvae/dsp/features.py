@@ -1,0 +1,256 @@
+"""Batched feature extractors — one fused XLA program per pipeline.
+
+The reference extracts features clip-by-clip in Python, recomputing an STFT
+for every feature family (mel, MFCC, centroid, bandwidth, rolloff, chroma —
+``src/1_preprocessing.py:105-129``).  Here each pipeline computes **one** STFT
+power spectrogram per batch of clips and derives every feature from it, so a
+whole dataset shard is a single jit-ed program on TPU:
+
+  * ``extract_basic_features``: the (B, 370) vector of
+    ``1_preprocessing.py:105-129`` (mel-dB/MFCC/spectral/chroma mean+std).
+  * ``extract_mel_image``: the (B, n_mels, fixed_time_steps) dB image of
+    ``1_preprocessing_advanced.py:97-114`` (truncate/pad-with-min).
+  * ``extract_flat_features``: the (B, 290) vector of
+    ``1_preprocessing_advanced.py:120-156`` (no MFCC).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpuvae.config import AdvancedPreprocessConfig, PreprocessConfig
+from tpuvae.dsp import primitives as prim
+from tpuvae.dsp.chroma import chroma_batch
+
+
+# -----------------------------------------------------------------------------
+# Spectrogram-domain features
+# -----------------------------------------------------------------------------
+
+def mel_power_from_stft(s_power: jnp.ndarray, sr: int, n_fft: int, n_mels: int):
+    """Mel power spectrogram ``(B, n_mels, T)`` from ``(B, n_bins, T)``."""
+    fb = jnp.asarray(prim.mel_filterbank(sr, n_fft, n_mels))
+    return jnp.einsum("mf,bft->bmt", fb, s_power, preferred_element_type=jnp.float32)
+
+
+def mel_db_ref_max(mel_power: jnp.ndarray) -> jnp.ndarray:
+    """``power_to_db(mel, ref=np.max)`` per clip (ref ``1_preprocessing.py:57``)."""
+    return prim.power_to_db(mel_power, ref="max")
+
+
+def mfcc_from_mel_power(mel_power: jnp.ndarray, n_mfcc: int) -> jnp.ndarray:
+    """librosa.feature.mfcc: dB (ref=1) mel → orthonormal DCT-II over mel axis."""
+    mel_db = prim.power_to_db(mel_power, ref=1.0)
+    return prim.dct_ii_ortho(mel_db, n_mfcc, axis=-2)
+
+
+def spectral_centroid(s_mag: jnp.ndarray, freqs: jnp.ndarray) -> jnp.ndarray:
+    """(B, T) spectral centroid from magnitude spectrogram (B, n_bins, T)."""
+    num = jnp.einsum("f,bft->bt", freqs, s_mag)
+    den = jnp.sum(s_mag, axis=1)
+    return num / jnp.maximum(den, np.finfo(np.float32).tiny)
+
+
+def spectral_bandwidth(
+    s_mag: jnp.ndarray, freqs: jnp.ndarray, centroid: jnp.ndarray, p: float = 2.0
+) -> jnp.ndarray:
+    """librosa.feature.spectral_bandwidth (norm=True, p=2) → (B, T)."""
+    s_norm = s_mag / jnp.maximum(
+        jnp.sum(s_mag, axis=1, keepdims=True), np.finfo(np.float32).tiny
+    )
+    dev = jnp.abs(freqs[None, :, None] - centroid[:, None, :])
+    return jnp.sum(s_norm * dev**p, axis=1) ** (1.0 / p)
+
+
+def spectral_rolloff(
+    s_mag: jnp.ndarray, freqs: jnp.ndarray, roll_percent: float = 0.85
+) -> jnp.ndarray:
+    """Lowest frequency containing ``roll_percent`` of spectral energy → (B, T)."""
+    total = jnp.cumsum(s_mag, axis=1)
+    thresh = roll_percent * total[:, -1:, :]
+    # lowest bin where cumulative energy crosses the threshold
+    big = jnp.float32(np.finfo(np.float32).max)
+    cand = jnp.where(total >= thresh, freqs[None, :, None], big)
+    return jnp.min(cand, axis=1)
+
+
+# -----------------------------------------------------------------------------
+# Time-domain features
+# -----------------------------------------------------------------------------
+
+def zero_crossing_rate(
+    y: jnp.ndarray, frame_length: int = 2048, hop_length: int = 512,
+    threshold: float = 1e-10,
+) -> jnp.ndarray:
+    """librosa.feature.zero_crossing_rate → (B, T).
+
+    Center pads with edge values, frames, zeroes tiny samples, counts signbit
+    changes per frame (first slot is the pad=False constant).
+    """
+    frames = prim.frame_signal(y, frame_length, hop_length, pad_mode="edge")
+    z = jnp.where(jnp.abs(frames) <= threshold, 0.0, frames)
+    sign = jnp.signbit(z)
+    crossings = sign[..., 1:] != sign[..., :-1]
+    # pad=False contributes a leading False before the mean over frame_length
+    return jnp.sum(crossings, axis=-1).astype(jnp.float32) / frame_length
+
+
+def rms(
+    y: jnp.ndarray, frame_length: int = 2048, hop_length: int = 512
+) -> jnp.ndarray:
+    """librosa.feature.rms (center, zero padding) → (B, T)."""
+    frames = prim.frame_signal(y, frame_length, hop_length, pad_mode="constant")
+    return jnp.sqrt(jnp.mean(frames**2, axis=-1))
+
+
+# -----------------------------------------------------------------------------
+# Pipeline extractors
+# -----------------------------------------------------------------------------
+
+def _mean_std(x: jnp.ndarray, axis: int = -1):
+    return jnp.mean(x, axis=axis), jnp.std(x, axis=axis)
+
+
+def extract_basic_features(
+    y: jnp.ndarray, cfg: PreprocessConfig, *, stft_method: str = "auto"
+) -> jnp.ndarray:
+    """The 370-d vector of ``extract_all_features`` (``1_preprocessing.py:105-129``).
+
+    Layout: [mel_db mean(128) | mel_db std(128) | mfcc mean(40) | mfcc std(40)
+             | (centroid, bandwidth, rolloff, zcr, rms) × (mean, std)
+             | chroma mean(12) | chroma std(12)]
+    """
+    sr, n_fft, hop = cfg.sample_rate, cfg.n_fft, cfg.hop_length
+    s_power = prim.stft_power(y, n_fft, hop, method=stft_method)
+    s_mag = jnp.sqrt(s_power)
+    freqs = jnp.asarray(prim.fft_frequencies(sr, n_fft))
+
+    mel_p = mel_power_from_stft(s_power, sr, n_fft, cfg.n_mels)
+    mel_db = mel_db_ref_max(mel_p)
+    mfcc = mfcc_from_mel_power(mel_p, cfg.n_mfcc)
+
+    cent = spectral_centroid(s_mag, freqs)
+    bw = spectral_bandwidth(s_mag, freqs, cent)
+    roll = spectral_rolloff(s_mag, freqs)
+    z = zero_crossing_rate(y, n_fft, hop)
+    r = rms(y, n_fft, hop)
+    chrom = chroma_batch(s_power, sr, n_fft, n_chroma=cfg.n_chroma)
+
+    parts = []
+    m, s = _mean_std(mel_db)
+    parts += [m, s]
+    m, s = _mean_std(mfcc)
+    parts += [m, s]
+    for feat in (cent, bw, roll, z, r):
+        parts += [jnp.mean(feat, axis=-1, keepdims=True),
+                  jnp.std(feat, axis=-1, keepdims=True)]
+    m, s = _mean_std(chrom)
+    parts += [m, s]
+    return jnp.concatenate(parts, axis=-1)
+
+
+def extract_mel_image(
+    y: jnp.ndarray, cfg: AdvancedPreprocessConfig, *, stft_method: str = "auto"
+) -> jnp.ndarray:
+    """Hi-res fixed-size mel-dB image (``1_preprocessing_advanced.py:97-114``).
+
+    dB with per-clip ``ref=max``; the time axis is truncated to
+    ``fixed_time_steps`` or right-padded with the clip's min dB value.
+    """
+    s_power = prim.stft_power(y, cfg.n_fft, cfg.hop_length, method=stft_method)
+    mel_p = mel_power_from_stft(s_power, cfg.sample_rate, cfg.n_fft, cfg.n_mels)
+    mel_db = mel_db_ref_max(mel_p)
+    t = mel_db.shape[-1]
+    fts = cfg.fixed_time_steps
+    if t >= fts:
+        return mel_db[..., :fts]
+    pad_val = jnp.min(mel_db, axis=(-2, -1), keepdims=True)
+    padded = jnp.pad(mel_db, ((0, 0), (0, 0), (0, fts - t)))
+    mask = jnp.arange(fts) < t
+    return jnp.where(mask[None, None, :], padded, pad_val)
+
+
+def extract_flat_features(
+    y: jnp.ndarray, cfg: AdvancedPreprocessConfig, *, stft_method: str = "auto"
+) -> jnp.ndarray:
+    """The 290-d vector of ``extract_flattened_features``
+    (``1_preprocessing_advanced.py:120-156``) — like the basic vector but
+    without MFCCs."""
+    sr, n_fft, hop = cfg.sample_rate, cfg.n_fft, cfg.hop_length
+    s_power = prim.stft_power(y, n_fft, hop, method=stft_method)
+    s_mag = jnp.sqrt(s_power)
+    freqs = jnp.asarray(prim.fft_frequencies(sr, n_fft))
+
+    mel_p = mel_power_from_stft(s_power, sr, n_fft, cfg.n_mels)
+    mel_db = mel_db_ref_max(mel_p)
+
+    cent = spectral_centroid(s_mag, freqs)
+    bw = spectral_bandwidth(s_mag, freqs, cent)
+    roll = spectral_rolloff(s_mag, freqs)
+    z = zero_crossing_rate(y, n_fft, hop)
+    r = rms(y, n_fft, hop)
+    chrom = chroma_batch(s_power, sr, n_fft, n_chroma=cfg.n_chroma)
+
+    parts = []
+    m, s = _mean_std(mel_db)
+    parts += [m, s]
+    for feat in (cent, bw, roll, z, r):
+        parts += [jnp.mean(feat, axis=-1, keepdims=True),
+                  jnp.std(feat, axis=-1, keepdims=True)]
+    m, s = _mean_std(chrom)
+    parts += [m, s]
+    return jnp.concatenate(parts, axis=-1)
+
+
+def extract_advanced(
+    y: jnp.ndarray, cfg: AdvancedPreprocessConfig, *, stft_method: str = "auto"
+):
+    """Both advanced-pipeline outputs from one shared STFT.
+
+    Returns ``(mel_image (B, n_mels, fixed_time_steps), flat (B, 290))`` —
+    the per-worker output pair of ``process_single_file``
+    (``1_preprocessing_advanced.py:158-183``), fully batched.
+    """
+    sr, n_fft, hop = cfg.sample_rate, cfg.n_fft, cfg.hop_length
+    s_power = prim.stft_power(y, n_fft, hop, method=stft_method)
+    s_mag = jnp.sqrt(s_power)
+    freqs = jnp.asarray(prim.fft_frequencies(sr, n_fft))
+
+    mel_p = mel_power_from_stft(s_power, sr, n_fft, cfg.n_mels)
+    mel_db = mel_db_ref_max(mel_p)
+
+    # mel image
+    t = mel_db.shape[-1]
+    fts = cfg.fixed_time_steps
+    if t >= fts:
+        mel_img = mel_db[..., :fts]
+    else:
+        pad_val = jnp.min(mel_db, axis=(-2, -1), keepdims=True)
+        padded = jnp.pad(mel_db, ((0, 0), (0, 0), (0, fts - t)))
+        mask = jnp.arange(fts) < t
+        mel_img = jnp.where(mask[None, None, :], padded, pad_val)
+
+    cent = spectral_centroid(s_mag, freqs)
+    bw = spectral_bandwidth(s_mag, freqs, cent)
+    roll = spectral_rolloff(s_mag, freqs)
+    z = zero_crossing_rate(y, n_fft, hop)
+    r = rms(y, n_fft, hop)
+    chrom = chroma_batch(s_power, sr, n_fft, n_chroma=cfg.n_chroma)
+
+    parts = []
+    m, s = _mean_std(mel_db)
+    parts += [m, s]
+    for feat in (cent, bw, roll, z, r):
+        parts += [jnp.mean(feat, axis=-1, keepdims=True),
+                  jnp.std(feat, axis=-1, keepdims=True)]
+    m, s = _mean_std(chrom)
+    parts += [m, s]
+    flat = jnp.concatenate(parts, axis=-1)
+    return mel_img, flat
+
+
+def jit_extractor(fn, cfg, **kwargs):
+    """jit-wrap an extractor with the config closed over (static shapes)."""
+    return jax.jit(lambda y: fn(y, cfg, **kwargs))

@@ -1,0 +1,243 @@
+"""Low-level DSP building blocks (batched, jit-able, librosa-compatible).
+
+The reference extracts features per clip with librosa, whose hot loops run in
+third-party native code (numpy/scipy FFT; see SURVEY.md §2 native-surface
+table, reference ``src/1_preprocessing.py:48-129``).  This module provides the
+same numerics as pure JAX functions over whole **batches** of clips so the
+entire extraction pipeline is one XLA program on TPU.
+
+Numerics match librosa's documented algorithms:
+  * ``stft``: hann (periodic) window, centered with zero padding
+    (librosa>=0.10 default ``pad_mode='constant'``), frame count
+    ``1 + len(y)//hop``.
+  * ``mel_filterbank``: Slaney mel scale (``htk=False``), ``norm='slaney'``.
+  * ``power_to_db``: ``10*log10(max(S, amin))`` relative to ``ref``, floored
+    at ``max - top_db`` per clip.
+  * ``dct_ii_ortho``: orthonormal DCT-II (scipy ``dct(type=2, norm='ortho')``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# -----------------------------------------------------------------------------
+# Windows and framing
+# -----------------------------------------------------------------------------
+
+def hann_window(n: int, dtype=np.float32) -> np.ndarray:
+    """Periodic ('fftbins') Hann window, as scipy.signal.get_window('hann', n)."""
+    k = np.arange(n)
+    return (0.5 - 0.5 * np.cos(2.0 * np.pi * k / n)).astype(dtype)
+
+
+def num_frames(n_samples: int, hop_length: int) -> int:
+    """Frame count of a centered STFT (librosa: ``1 + n_samples // hop``)."""
+    return 1 + n_samples // hop_length
+
+
+def frame_signal(
+    y: jnp.ndarray,
+    frame_length: int,
+    hop_length: int,
+    *,
+    pad_mode: str = "constant",
+) -> jnp.ndarray:
+    """Center-pad and slice ``y (B, T)`` into frames ``(B, n_frames, frame_length)``.
+
+    ``pad_mode='constant'`` matches librosa.stft's zero padding; ``'edge'``
+    matches librosa.feature.zero_crossing_rate's padding.
+    """
+    b, t = y.shape
+    half = frame_length // 2
+    y_pad = jnp.pad(y, ((0, 0), (half, half)), mode=pad_mode)
+    n = num_frames(t, hop_length)
+    starts = jnp.arange(n) * hop_length
+    idx = starts[:, None] + jnp.arange(frame_length)[None, :]
+    return jnp.take(y_pad, idx, axis=1)
+
+
+# -----------------------------------------------------------------------------
+# STFT — two MXU/FFT execution paths
+# -----------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=4)
+def _dft_basis(n_fft: int) -> tuple[np.ndarray, np.ndarray]:
+    """Real-DFT basis (cos, -sin) matrices, each ``(n_fft, n_fft//2 + 1)``."""
+    n_bins = n_fft // 2 + 1
+    t = np.arange(n_fft)[:, None]
+    k = np.arange(n_bins)[None, :]
+    ang = 2.0 * np.pi * t * k / n_fft
+    return np.cos(ang).astype(np.float32), (-np.sin(ang)).astype(np.float32)
+
+
+def stft_power(
+    y: jnp.ndarray,
+    n_fft: int = 2048,
+    hop_length: int = 512,
+    *,
+    window: np.ndarray | None = None,
+    pad_mode: str = "constant",
+    method: str = "auto",
+) -> jnp.ndarray:
+    """Power spectrogram ``|STFT|^2`` of shape ``(B, n_fft//2+1, n_frames)``.
+
+    ``method='fft'`` uses XLA's FFT; ``method='dft'`` evaluates the real DFT
+    as two dense matmuls against a cos/sin basis so the work lands on the TPU
+    MXU.  ``'auto'`` picks 'dft' on TPU (where XLA exposes no FFT lowering on
+    this backend and the MXU eats the extra FLOPs) and 'fft' elsewhere.
+    """
+    if method == "auto":
+        method = "dft" if jax.default_backend() not in ("cpu", "gpu") else "fft"
+    if window is None:
+        window = hann_window(n_fft)
+    frames = frame_signal(y, n_fft, hop_length, pad_mode=pad_mode)
+    frames = frames * jnp.asarray(window)[None, None, :]
+    if method == "dft":
+        cos_b, sin_b = _dft_basis(n_fft)
+        re = jnp.einsum(
+            "btn,nk->btk", frames, jnp.asarray(cos_b),
+            preferred_element_type=jnp.float32,
+        )
+        im = jnp.einsum(
+            "btn,nk->btk", frames, jnp.asarray(sin_b),
+            preferred_element_type=jnp.float32,
+        )
+        power = re * re + im * im
+    else:
+        spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)
+        power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+    # (B, n_frames, n_bins) -> (B, n_bins, n_frames) to match librosa layout
+    return jnp.transpose(power, (0, 2, 1))
+
+
+def fft_frequencies(sr: float, n_fft: int) -> np.ndarray:
+    return np.linspace(0.0, sr / 2.0, 1 + n_fft // 2, dtype=np.float32)
+
+
+# -----------------------------------------------------------------------------
+# Mel filterbank (Slaney scale + Slaney norm, librosa.filters.mel defaults)
+# -----------------------------------------------------------------------------
+
+def _hz_to_mel(f: np.ndarray) -> np.ndarray:
+    """Slaney mel scale: linear below 1 kHz, log above."""
+    f = np.asarray(f, dtype=np.float64)
+    f_sp = 200.0 / 3.0
+    mels = f / f_sp
+    min_log_hz = 1000.0
+    min_log_mel = min_log_hz / f_sp
+    logstep = np.log(6.4) / 27.0
+    return np.where(f >= min_log_hz, min_log_mel + np.log(f / min_log_hz) / logstep, mels)
+
+
+def _mel_to_hz(m: np.ndarray) -> np.ndarray:
+    m = np.asarray(m, dtype=np.float64)
+    f_sp = 200.0 / 3.0
+    freqs = f_sp * m
+    min_log_hz = 1000.0
+    min_log_mel = min_log_hz / f_sp
+    logstep = np.log(6.4) / 27.0
+    return np.where(m >= min_log_mel, min_log_hz * np.exp(logstep * (m - min_log_mel)), freqs)
+
+
+@functools.lru_cache(maxsize=8)
+def mel_filterbank(
+    sr: int, n_fft: int, n_mels: int = 128, fmin: float = 0.0, fmax: float | None = None
+) -> np.ndarray:
+    """Slaney-normalized triangular mel filterbank ``(n_mels, n_fft//2+1)``."""
+    if fmax is None:
+        fmax = sr / 2.0
+    fftfreqs = np.linspace(0.0, sr / 2.0, 1 + n_fft // 2)
+    mel_pts = np.linspace(_hz_to_mel(np.array(fmin)), _hz_to_mel(np.array(fmax)), n_mels + 2)
+    mel_f = _mel_to_hz(mel_pts)
+    fdiff = np.diff(mel_f)
+    ramps = mel_f[:, None] - fftfreqs[None, :]
+    lower = -ramps[:-2] / fdiff[:-1, None]
+    upper = ramps[2:] / fdiff[1:, None]
+    weights = np.maximum(0.0, np.minimum(lower, upper))
+    enorm = 2.0 / (mel_f[2 : n_mels + 2] - mel_f[:n_mels])
+    weights = weights * enorm[:, None]
+    return weights.astype(np.float32)
+
+
+# -----------------------------------------------------------------------------
+# dB scaling and DCT
+# -----------------------------------------------------------------------------
+
+def power_to_db(
+    s: jnp.ndarray,
+    *,
+    ref: jnp.ndarray | float = 1.0,
+    amin: float = 1e-10,
+    top_db: float | None = 80.0,
+    per_clip_axes: tuple = (-2, -1),
+) -> jnp.ndarray:
+    """librosa.power_to_db with per-clip ``top_db`` flooring.
+
+    ``ref`` may be a scalar, an array broadcastable against ``s`` (e.g. the
+    per-clip max for the reference's ``ref=np.max`` at
+    ``src/1_preprocessing.py:57``), or the string ``'max'``.
+    """
+    if isinstance(ref, str):
+        if ref != "max":
+            raise ValueError(ref)
+        ref = jnp.max(s, axis=per_clip_axes, keepdims=True)
+    log_spec = 10.0 * jnp.log10(jnp.maximum(amin, s))
+    log_spec = log_spec - 10.0 * jnp.log10(jnp.maximum(amin, ref))
+    if top_db is not None:
+        floor = jnp.max(log_spec, axis=per_clip_axes, keepdims=True) - top_db
+        log_spec = jnp.maximum(log_spec, floor)
+    return log_spec
+
+
+@functools.lru_cache(maxsize=4)
+def _dct_ii_ortho_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II matrix ``(n, n)``: out = M @ x."""
+    k = np.arange(n)[:, None]
+    t = np.arange(n)[None, :]
+    m = np.cos(np.pi * k * (2 * t + 1) / (2 * n))
+    m[0] *= np.sqrt(1.0 / n)
+    m[1:] *= np.sqrt(2.0 / n)
+    return m.astype(np.float32)
+
+
+def dct_ii_ortho(x: jnp.ndarray, n_out: int, axis: int = -2) -> jnp.ndarray:
+    """DCT-II (ortho) along ``axis``, keeping the first ``n_out`` coefficients.
+
+    Implemented as a dense matmul so it runs on the MXU (scipy's FFT-based
+    DCT has no TPU analogue at these tiny sizes).
+    """
+    n = x.shape[axis]
+    m = jnp.asarray(_dct_ii_ortho_matrix(n)[:n_out])
+    x_moved = jnp.moveaxis(x, axis, -1)
+    out = jnp.einsum("kn,...n->...k", m, x_moved, preferred_element_type=jnp.float32)
+    return jnp.moveaxis(out, -1, axis)
+
+
+# -----------------------------------------------------------------------------
+# Vector normalization (librosa.util.normalize)
+# -----------------------------------------------------------------------------
+
+def normalize_inf(x: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
+    """Max-abs normalization per slice; slices below tiny are left as zeros=...
+
+    Matches ``librosa.util.normalize(..., norm=np.inf)``: lengths below the
+    float32 tiny threshold are replaced by 1 (so near-silent frames pass
+    through unscaled).
+    """
+    length = jnp.max(jnp.abs(x), axis=axis, keepdims=True)
+    tiny = np.finfo(np.float32).tiny
+    length = jnp.where(length < tiny, 1.0, length)
+    return x / length
+
+
+def normalize_l2_np(x: np.ndarray, axis: int = 0) -> np.ndarray:
+    """Host-side L2 column normalization (librosa.util.normalize norm=2)."""
+    length = np.sqrt(np.sum(np.abs(x) ** 2, axis=axis, keepdims=True))
+    tiny = np.finfo(x.dtype if x.dtype.kind == "f" else np.float32).tiny
+    length[length < tiny] = 1.0
+    return x / length
