@@ -1,0 +1,77 @@
+"""Conditional multi-modal VAE — capability match of ``Conditional_VAE.py:109-231`` (C14).
+
+Audio conv trunk → 16384; text MLP 768→256 (+BN+LeakyReLU); fusion is the
+concat [audio ‖ text ‖ one-hot genre] feeding μ/logσ²(latent).  The decoder
+concatenates [z ‖ condition], projects to 16384+256, splits, and runs the
+transposed-conv audio decoder and a 256→512→768 text decoder.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from tpuvae.models.layers import ConvDecoderTrunk, ConvEncoderTrunk, reparameterize
+
+
+class ConditionalVAE(nn.Module):
+    latent_dim: int = 64
+    text_dim: int = 768
+    num_classes: int = 10
+
+    def setup(self):
+        self.audio_encoder = ConvEncoderTrunk()
+        self.text_fc = nn.Dense(256)
+        self.text_bn = nn.BatchNorm()
+        self.fc_mu = nn.Dense(self.latent_dim)
+        self.fc_logvar = nn.Dense(self.latent_dim)
+        self.decoder_fc = nn.Dense(16384 + 256)
+        self.audio_decoder = ConvDecoderTrunk()
+        self.text_dec_fc1 = nn.Dense(512)
+        self.text_dec_bn = nn.BatchNorm()
+        self.text_dec_fc2 = nn.Dense(self.text_dim)
+
+    def encode(self, audio, text, condition, *, train: bool = False):
+        """audio (B,128,1024,1) NHWC, text (B,768), condition (B,num_classes)."""
+        a = self.audio_encoder(audio, train=train)
+        t = nn.leaky_relu(
+            self.text_bn(self.text_fc(text), use_running_average=not train), 0.01
+        )
+        h = jnp.concatenate([a, t, condition], axis=-1)
+        return self.fc_mu(h), self.fc_logvar(h)
+
+    def decode(self, z, condition, *, train: bool = False):
+        h = self.decoder_fc(jnp.concatenate([z, condition], axis=-1))
+        a_hidden, t_hidden = h[:, :16384], h[:, 16384:]
+        recon_audio = self.audio_decoder(a_hidden, train=train)
+        t = nn.leaky_relu(
+            self.text_dec_bn(
+                self.text_dec_fc1(t_hidden), use_running_average=not train
+            ),
+            0.01,
+        )
+        recon_text = self.text_dec_fc2(t)
+        return recon_audio, recon_text
+
+    def __call__(self, audio, text, condition, rng, *, train: bool = True):
+        mu, logvar = self.encode(audio, text, condition, train=train)
+        z = reparameterize(rng, mu, logvar)
+        recon_audio, recon_text = self.decode(z, condition, train=train)
+        return recon_audio, recon_text, mu, logvar
+
+    def latent(self, audio, text, condition):
+        return self.encode(audio, text, condition, train=False)[0]
+
+
+def cvae_loss(
+    recon_audio, audio, recon_text, text, mu, logvar,
+    beta: float = 4.0, text_weight: float = 200.0,
+):
+    """sum-MSE(audio) + 200·sum-MSE(text) + β·sum-KL
+    (ref ``cvae_loss_function``, ``Conditional_VAE.py:233-246``; the 200×
+    balances ~130k audio dims against 768 text dims)."""
+    mse_audio = jnp.sum((recon_audio - audio) ** 2)
+    mse_text = jnp.sum((recon_text - text) ** 2)
+    kl = -0.5 * jnp.sum(1 + logvar - mu**2 - jnp.exp(logvar))
+    total = mse_audio + text_weight * mse_text + beta * kl
+    return total, mse_audio, mse_text, kl

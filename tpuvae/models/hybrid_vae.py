@@ -1,0 +1,88 @@
+"""Hybrid conv+MLP VAE — capability match of ``Convolutional_VAE.py:75-185`` (C18).
+
+Audio trunk → 16384 → Linear 1024; text MLP 768→256→128 (+BN+LeakyReLU);
+fusion Linear(1152→512)+ReLU → μ/logσ²(128).  Decoder: z→512(+ReLU) →
+split-Linear 1024+128(+ReLU); audio 1024→16384(+ReLU)→transposed convs;
+text 128→256(+BN+LeakyReLU)→768.  The two 16384×1024 Linears dominate the
+~43 M parameters.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from tpuvae.models.layers import ConvDecoderTrunk, ConvEncoderTrunk, reparameterize
+
+
+class HybridVAE(nn.Module):
+    latent_dim: int = 128
+    text_dim: int = 768
+
+    def setup(self):
+        self.audio_encoder = ConvEncoderTrunk()
+        self.audio_fc = nn.Dense(1024)
+        self.text_fc1 = nn.Dense(256)
+        self.text_bn1 = nn.BatchNorm()
+        self.text_fc2 = nn.Dense(128)
+        self.text_bn2 = nn.BatchNorm()
+        self.fc_fusion = nn.Dense(512)
+        self.fc_mu = nn.Dense(self.latent_dim)
+        self.fc_logvar = nn.Dense(self.latent_dim)
+        self.decoder_input = nn.Dense(512)
+        self.decoder_split = nn.Dense(1024 + 128)
+        self.audio_decoder_fc = nn.Dense(16384)
+        self.audio_decoder = ConvDecoderTrunk()
+        self.text_dec_fc1 = nn.Dense(256)
+        self.text_dec_bn = nn.BatchNorm()
+        self.text_dec_fc2 = nn.Dense(self.text_dim)
+
+    def encode(self, audio, text, *, train: bool = False):
+        a = self.audio_fc(self.audio_encoder(audio, train=train))
+        t = nn.leaky_relu(
+            self.text_bn1(self.text_fc1(text), use_running_average=not train), 0.01
+        )
+        t = nn.leaky_relu(
+            self.text_bn2(self.text_fc2(t), use_running_average=not train), 0.01
+        )
+        h = nn.relu(self.fc_fusion(jnp.concatenate([a, t], axis=-1)))
+        return self.fc_mu(h), self.fc_logvar(h)
+
+    def decode(self, z, *, train: bool = False):
+        h = nn.relu(self.decoder_input(z))
+        splits = nn.relu(self.decoder_split(h))
+        a_hidden, t_hidden = splits[:, :1024], splits[:, 1024:]
+        a = nn.relu(self.audio_decoder_fc(a_hidden))
+        recon_audio = self.audio_decoder(a, train=train)
+        t = nn.leaky_relu(
+            self.text_dec_bn(
+                self.text_dec_fc1(t_hidden), use_running_average=not train
+            ),
+            0.01,
+        )
+        recon_text = self.text_dec_fc2(t)
+        return recon_audio, recon_text
+
+    def __call__(self, audio, text, rng, *, train: bool = True):
+        mu, logvar = self.encode(audio, text, train=train)
+        z = reparameterize(rng, mu, logvar)
+        recon_audio, recon_text = self.decode(z, train=train)
+        return recon_audio, recon_text, mu, logvar
+
+    def latent(self, audio, text):
+        return self.encode(audio, text, train=False)[0]
+
+
+def hybrid_loss(
+    recon_audio, audio, recon_text, text, mu, logvar,
+    alpha: float = 1.0, beta: float = 1.0, text_weight: float = 350.0,
+):
+    """sum-MSE(audio) + 350·sum-MSE(text) + β·sum-KL
+    (ref ``loss_function``, ``Convolutional_VAE.py:187-194``; ``alpha`` is
+    accepted-but-unused there, preserved here for API parity)."""
+    del alpha
+    mse_audio = jnp.sum((recon_audio - audio) ** 2)
+    mse_text = jnp.sum((recon_text - text) ** 2)
+    kl = -0.5 * jnp.sum(1 + logvar - mu**2 - jnp.exp(logvar))
+    total = mse_audio + text_weight * mse_text + beta * kl
+    return total, mse_audio, mse_text, kl

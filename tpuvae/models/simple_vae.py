@@ -1,0 +1,55 @@
+"""Simple (MLP) VAE — capability match of reference ``Simple_VAE.py:47-105`` (C11).
+
+Encoder [input→128→64→32] with BN+ReLU+Dropout(0.2), μ/logσ² heads of 32,
+mirrored decoder ending in a plain Linear back to the input dim.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from tpuvae.models.layers import MLPBlock, reparameterize
+
+
+class SimpleVAE(nn.Module):
+    input_dim: int = 370
+    hidden_dims: Sequence[int] = (128, 64, 32)
+    latent_dim: int = 32
+    dropout: float = 0.2
+
+    def setup(self):
+        self.encoder = MLPBlock(self.hidden_dims, self.dropout)
+        self.fc_mu = nn.Dense(self.latent_dim)
+        self.fc_logvar = nn.Dense(self.latent_dim)
+        self.decoder = MLPBlock(tuple(reversed(self.hidden_dims)), self.dropout)
+        self.out = nn.Dense(self.input_dim)
+
+    def encode(self, x, *, train: bool = False):
+        h = self.encoder(x, train=train)
+        return self.fc_mu(h), self.fc_logvar(h)
+
+    def decode(self, z, *, train: bool = False):
+        return self.out(self.decoder(z, train=train))
+
+    def __call__(self, x, rng, *, train: bool = True):
+        mu, logvar = self.encode(x, train=train)
+        z = reparameterize(rng, mu, logvar)
+        return self.decode(z, train=train), mu, logvar, z
+
+    def latent(self, x):
+        """Encoder mean in eval mode (ref ``get_latent_features``, :103-105)."""
+        return self.encode(x, train=False)[0]
+
+
+def simple_vae_loss(recon, x, mu, logvar, beta: float = 0.8):
+    """mean-MSE + β·mean-KL (ref ``vae_loss``, ``Simple_VAE.py:108-114``).
+
+    Note the mean-form KL (the other two models use sum-form; SURVEY.md §7
+    'behavioral quirks').
+    """
+    recon_loss = jnp.mean((recon - x) ** 2)
+    kl = -0.5 * jnp.mean(1 + logvar - mu**2 - jnp.exp(logvar))
+    return recon_loss + beta * kl, recon_loss, kl

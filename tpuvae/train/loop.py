@@ -1,0 +1,246 @@
+"""Generic scanned-epoch training loop.
+
+TPU-first redesign of the reference's three hand-rolled per-batch Python
+loops (``Simple_VAE.py:171-217``, ``Conditional_VAE.py:310-362``,
+``Convolutional_VAE.py:217-271``): the whole (small) dataset lives on device
+and each epoch is ONE jitted ``lax.scan`` over shuffled full batches plus one
+jitted call for the remainder batch, so dispatch overhead is per-epoch, not
+per-batch.  Host-side control (early stopping, ReduceLROnPlateau, best-state
+tracking) runs between epochs exactly like the reference's semantics:
+
+  * Simple VAE: monitor **train** loss, plateau-LR, restore best weights
+    (``Simple_VAE.py:202-222``).
+  * CVAE:   monitor **val** loss, keep final weights (``Conditional_VAE.py:351-360``).
+  * Hybrid: monitor **val** loss, keep final weights (``Convolutional_VAE.py:262-271``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpuvae.train.state import TrainState, get_learning_rate, set_learning_rate
+from tpuvae.utils.logging import RunLogger
+
+# loss_fn(state, variables, batch: tuple, rng, train) -> (loss, aux_dict, new_model_state)
+LossFn = Callable[..., Any]
+
+
+@dataclasses.dataclass
+class FitConfig:
+    epochs: int
+    batch_size: int = 32
+    patience: int = 15
+    monitor: str = "train"          # 'train' | 'val'
+    restore_best: bool = False
+    plateau_patience: int | None = None   # None disables ReduceLROnPlateau
+    plateau_factor: float = 0.5
+    loss_normalizer: str = "per_batch"    # 'per_batch' | 'per_dataset'
+    seed: int = 42
+    log_every: int = 10
+
+
+@dataclasses.dataclass
+class FitResult:
+    state: TrainState
+    history: dict[str, list[float]]
+    best_epoch: int
+    stopped_epoch: int
+    steps_per_sec: float
+
+
+def _split_batches(n: int, bs: int) -> tuple[int, int]:
+    return n // bs, n % bs
+
+
+def _gather_batch(data: Sequence[jnp.ndarray], idx: jnp.ndarray):
+    return tuple(jnp.take(d, idx, axis=0) for d in data)
+
+
+def fit(
+    state: TrainState,
+    loss_fn: LossFn,
+    train_data: Sequence[jnp.ndarray],
+    cfg: FitConfig,
+    val_data: Sequence[jnp.ndarray] | None = None,
+    logger: RunLogger | None = None,
+) -> FitResult:
+    """Train ``state`` with per-epoch host control flow.
+
+    ``train_data``/``val_data`` are tuples of equal-length device arrays
+    (already placed/sharded by the caller); batches index dim 0.
+    """
+    n = int(train_data[0].shape[0])
+    steps, rem = _split_batches(n, cfg.batch_size)
+    n_batches = steps + (1 if rem else 0)
+
+    def train_step(state: TrainState, batch, rng):
+        def compute(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            loss, aux, new_model_state = loss_fn(state, variables, batch, rng, True)
+            return loss, (aux, new_model_state)
+
+        (loss, (aux, new_model_state)), grads = jax.value_and_grad(
+            compute, has_aux=True
+        )(state.params)
+        state = state.apply_gradients(grads=grads)
+        state = state.replace(batch_stats=new_model_state.get(
+            "batch_stats", state.batch_stats))
+        return state, loss, aux
+
+    # NOTE: datasets are passed as explicit jit arguments, never closed over —
+    # closure-captured concrete arrays become baked-in constants, bloating the
+    # executable and re-uploading the dataset on every call.
+    @jax.jit
+    def epoch_scan(state: TrainState, perm: jnp.ndarray, rng, *data):
+        """One pass over the `steps` full batches."""
+        perm_full = perm[: steps * cfg.batch_size].reshape(steps, cfg.batch_size)
+
+        def body(carry, xs):
+            st = carry
+            idx, i = xs
+            batch = _gather_batch(data, idx)
+            st, loss, aux = train_step(st, batch, jax.random.fold_in(rng, i))
+            return st, (loss, aux)
+
+        state, (losses, auxes) = jax.lax.scan(
+            body, state, (perm_full, jnp.arange(steps))
+        )
+        return state, jnp.sum(losses), jax.tree_util.tree_map(jnp.sum, auxes)
+
+    @jax.jit
+    def rem_step(state: TrainState, idx: jnp.ndarray, rng, *data):
+        batch = _gather_batch(data, idx)
+        return train_step(state, batch, rng)
+
+    def eval_loss(nv: int):
+        vsteps, vrem = _split_batches(nv, cfg.batch_size)
+
+        @jax.jit
+        def _eval(state: TrainState, rng, *data):
+            variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+            def body(carry, i):
+                start = i * cfg.batch_size
+                batch = tuple(
+                    jax.lax.dynamic_slice_in_dim(d, start, cfg.batch_size, 0)
+                    for d in data
+                )
+                loss, _, _ = loss_fn(state, variables, batch,
+                                     jax.random.fold_in(rng, i), False)
+                return carry + loss, None
+
+            total = 0.0
+            if vsteps:
+                total, _ = jax.lax.scan(body, 0.0, jnp.arange(vsteps))
+            if vrem:
+                batch = tuple(d[vsteps * cfg.batch_size :] for d in data)
+                loss, _, _ = loss_fn(state, variables, batch,
+                                     jax.random.fold_in(rng, vsteps), False)
+                total = total + loss
+            return total
+
+        return _eval, vsteps + (1 if vrem else 0), nv
+
+    if val_data is not None:
+        val_data = tuple(jnp.asarray(d) for d in val_data)
+        val_fn, val_batches, n_val = eval_loss(int(val_data[0].shape[0]))
+    train_data = tuple(jnp.asarray(d) for d in train_data)
+
+    history: dict[str, list[float]] = {"train_loss": [], "val_loss": [], "lr": []}
+    best = float("inf")
+    best_epoch = -1
+    best_snapshot = None
+    patience_counter = 0
+    plateau_best = float("inf")
+    plateau_counter = 0
+    lr = get_learning_rate(state)
+    rng = jax.random.PRNGKey(cfg.seed)
+    t0 = time.time()
+    total_steps = 0
+    epoch = -1
+
+    for epoch in range(cfg.epochs):
+        ep_rng = jax.random.fold_in(rng, epoch)
+        perm = jax.random.permutation(jax.random.fold_in(ep_rng, 0), n)
+        state, loss_sum, _ = epoch_scan(state, perm, jax.random.fold_in(ep_rng, 1), *train_data)
+        if rem:
+            state, rloss, _ = rem_step(
+                state, perm[steps * cfg.batch_size :], jax.random.fold_in(ep_rng, 2),
+                *train_data,
+            )
+            loss_sum = loss_sum + rloss
+        total_steps += n_batches
+
+        denom = n_batches if cfg.loss_normalizer == "per_batch" else n
+        train_loss = float(loss_sum) / denom
+        history["train_loss"].append(train_loss)
+        history["lr"].append(lr)
+
+        if val_data is not None:
+            vdenom = val_batches if cfg.loss_normalizer == "per_batch" else n_val
+            val_loss = float(
+                val_fn(state, jax.random.fold_in(ep_rng, 3), *val_data)
+            ) / vdenom
+            history["val_loss"].append(val_loss)
+        monitored = train_loss if cfg.monitor == "train" else val_loss
+
+        # ReduceLROnPlateau (factor 0.5) on the monitored loss
+        if cfg.plateau_patience is not None:
+            if monitored < plateau_best:
+                plateau_best = monitored
+                plateau_counter = 0
+            else:
+                plateau_counter += 1
+                if plateau_counter > cfg.plateau_patience:
+                    lr *= cfg.plateau_factor
+                    state = set_learning_rate(state, lr)
+                    plateau_counter = 0
+
+        # early stopping + best tracking
+        if monitored < best:
+            best = monitored
+            best_epoch = epoch
+            patience_counter = 0
+            if cfg.restore_best:
+                best_snapshot = (state.params, state.batch_stats)
+        else:
+            patience_counter += 1
+
+        if logger is not None and (epoch + 1) % cfg.log_every == 0:
+            logger.log(
+                "epoch",
+                epoch=epoch + 1,
+                train_loss=train_loss,
+                val_loss=history["val_loss"][-1] if val_data is not None else None,
+                lr=lr,
+            )
+
+        if patience_counter >= cfg.patience:
+            break
+
+    if cfg.restore_best and best_snapshot is not None:
+        state = state.replace(params=best_snapshot[0], batch_stats=best_snapshot[1])
+
+    elapsed = time.time() - t0
+    return FitResult(
+        state=state,
+        history=history,
+        best_epoch=best_epoch,
+        stopped_epoch=epoch,
+        steps_per_sec=total_steps / max(elapsed, 1e-9),
+    )
+
+
+def train_val_split(n: int, val_fraction: float, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """85/15-style random split (ref ``Conditional_VAE.py:381-383``)."""
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(n)
+    n_train = int((1.0 - val_fraction) * n)
+    return perm[:n_train], perm[n_train:]

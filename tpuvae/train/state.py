@@ -1,0 +1,71 @@
+"""Train state with BatchNorm statistics and adjustable learning rate."""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import core
+from flax import struct
+from flax.training import train_state
+
+
+class TrainState(train_state.TrainState):
+    """flax TrainState + mutable batch_stats collection (BN running stats)."""
+
+    batch_stats: core.FrozenDict[str, Any] = struct.field(default=None)
+
+
+def adam_with_adjustable_lr(learning_rate: float) -> optax.GradientTransformation:
+    """Adam whose lr can be rescaled post-hoc (ReduceLROnPlateau support,
+    ref ``Simple_VAE.py:151-153``)."""
+    return optax.inject_hyperparams(optax.adam)(learning_rate=learning_rate)
+
+
+def set_learning_rate(state: TrainState, lr: float) -> TrainState:
+    """Return a state whose injected learning_rate hyperparam is ``lr``."""
+
+    def _update(os):
+        if hasattr(os, "hyperparams") and "learning_rate" in os.hyperparams:
+            hp = dict(os.hyperparams)
+            hp["learning_rate"] = jnp.asarray(lr, dtype=jnp.float32)
+            return os._replace(hyperparams=hp)
+        return os
+
+    if hasattr(state.opt_state, "hyperparams"):
+        return state.replace(opt_state=_update(state.opt_state))
+    # chained: find the inject wrapper
+    new_os = tuple(_update(os) for os in state.opt_state)
+    return state.replace(opt_state=new_os)
+
+
+def get_learning_rate(state: TrainState) -> float:
+    os = state.opt_state
+    if hasattr(os, "hyperparams"):
+        return float(os.hyperparams["learning_rate"])
+    for part in os:
+        if hasattr(part, "hyperparams"):
+            return float(part.hyperparams["learning_rate"])
+    raise ValueError("no injected learning_rate found")
+
+
+def create_state(model, rng, example_inputs: tuple, learning_rate: float,
+                 **init_kwargs) -> TrainState:
+    """Initialise variables from example inputs and build the train state."""
+    variables = model.init(
+        {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
+        *example_inputs,
+        **init_kwargs,
+    )
+    return TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", core.FrozenDict()),
+        tx=adam_with_adjustable_lr(learning_rate),
+    )
+
+
+def param_count(params) -> int:
+    return sum(int(p.size) for p in jax.tree_util.tree_leaves(params))
