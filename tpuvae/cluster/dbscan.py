@@ -1,0 +1,66 @@
+"""On-device DBSCAN via iterative min-label propagation.
+
+Replaces sklearn's DBSCAN (C24; ``Convolutional_VAE.py:347-374``).  The whole
+algorithm is fixed-shape JAX: neighbor mask from the pairwise distance
+matrix, core mask by neighbor count, connected components of the core-core
+graph by min-label propagation (a while_loop of masked (N,N) min-reductions,
+each one a VPU-friendly dense op), then border-point attachment.
+
+Label semantics match sklearn: noise = −1; clusters numbered by the smallest
+core-point index they contain (sklearn scans points in order, so the first
+core point of a component — its minimum index — creates the cluster).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpuvae.metrics.pairwise import distances
+
+
+@partial(jax.jit, static_argnames=("min_samples",))
+def _dbscan_device(x, eps, min_samples: int):
+    n = x.shape[0]
+    d = distances(x, x)
+    neigh = d <= eps                                   # includes self
+    core = jnp.sum(neigh, axis=1) >= min_samples
+
+    # components over the core-core adjacency
+    core_adj = neigh & core[None, :] & core[:, None]
+    inf = jnp.int32(n)
+    labels = jnp.where(core, jnp.arange(n, dtype=jnp.int32), inf)
+
+    def cond(state):
+        labels, changed = state
+        return changed
+
+    def step(state):
+        labels, _ = state
+        # min label among core neighbors (dense masked min)
+        neigh_lab = jnp.where(core_adj, labels[None, :], inf)
+        new = jnp.minimum(labels, jnp.min(neigh_lab, axis=1))
+        return new, jnp.any(new != labels)
+
+    labels, _ = jax.lax.while_loop(cond, step, (labels, jnp.bool_(True)))
+
+    # border points: attach to the min-labeled core neighbor, else noise
+    border_adj = neigh & core[None, :]
+    border_lab = jnp.min(jnp.where(border_adj, labels[None, :], inf), axis=1)
+    final = jnp.where(core, labels, border_lab)
+    return jnp.where(final >= inf, -1, final), core
+
+
+def dbscan(x, eps: float, min_samples: int = 5) -> np.ndarray:
+    """DBSCAN labels (noise −1, clusters 0..C-1 compacted in sklearn order)."""
+    x = jnp.asarray(x, jnp.float32)
+    raw, _ = _dbscan_device(x, jnp.float32(eps), min_samples)
+    raw = np.asarray(raw)
+    out = np.full_like(raw, -1)
+    uniq = np.unique(raw[raw >= 0])    # sorted min-core-index per component
+    for new, old in enumerate(uniq):
+        out[raw == old] = new
+    return out
