@@ -1,0 +1,141 @@
+"""End-to-end pipeline integration test on a tiny synthetic corpus (CPU,
+8 virtual devices): synth-data → preprocess → all three VAE pipelines →
+consolidated CSV + PNG report set."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tpuvae.config import (
+    AdvancedPreprocessConfig,
+    ClusterConfig,
+    ConditionalVAEConfig,
+    HybridVAEConfig,
+    PreprocessConfig,
+    SimpleVAEConfig,
+)
+from tpuvae.io import generate_dataset
+from tpuvae.utils import RunLogger
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data")
+    generate_dataset(root / "Datasets", clips_per_genre_lang=3, duration=2.0,
+                     include_jazz=True, seed=1)
+    return root
+
+
+@pytest.fixture(scope="module")
+def small_cluster_cfg():
+    return ClusterConfig(
+        simple_k_sweep=(2, 3), hybrid_k_min=2, hybrid_k_max=4,
+        dbscan_eps_min=1.0, dbscan_eps_max=12.0, dbscan_eps_step=2.0,
+        tsne_perplexity=5.0,
+    )
+
+
+@pytest.fixture(scope="module")
+def preprocessed(corpus):
+    from tpuvae.pipelines import preprocess_advanced, preprocess_basic
+
+    logger = RunLogger(echo=False)
+    pcfg = PreprocessConfig(
+        duration=2.0, dataset_root=str(corpus / "Datasets"),
+        metadata_csv=str(corpus / "Datasets" / "updated_metadata.csv"),
+        output_dir=str(corpus / "processed_data1"), extract_batch=8,
+    )
+    r1 = preprocess_basic(pcfg, logger=logger)
+    acfg = AdvancedPreprocessConfig(
+        duration=2.0, fixed_time_steps=64,
+        dataset_root=str(corpus / "Datasets"),
+        metadata_csv=str(corpus / "Datasets" / "updated_metadata.csv"),
+        output_dir=str(corpus / "processed_data2"), extract_batch=8,
+    )
+    r2 = preprocess_advanced(acfg, logger=logger)
+    return corpus, r1, r2
+
+
+def test_preprocess_artifacts(preprocessed):
+    corpus, r1, r2 = preprocessed
+    d1, d2 = corpus / "processed_data1", corpus / "processed_data2"
+    feats = np.load(d1 / "features_normalized.npy")
+    assert feats.shape[1] == 370
+    assert r1["n"] == feats.shape[0] == 24      # 2 langs × 4 genres × 3
+    for name in ("features_raw.npy", "labels.npy", "metadata.csv",
+                 "scaler.pkl", "imputer.pkl", "config.pkl"):
+        assert (d1 / name).exists(), name
+    mel = np.load(d2 / "mel_spectrograms_normalized.npy")
+    flat = np.load(d2 / "features_normalized.npy")
+    emb = np.load(d2 / "lyrics_embeddings.npy")
+    # strict filter: jazz (2×3) and 1 'instrumental' per genre-lang excluded
+    assert mel.shape == (r2["n"], 128, 64)
+    assert flat.shape == (r2["n"], 290)
+    assert emb.shape == (r2["n"], 768)
+    labels = np.load(d2 / "labels.npy", allow_pickle=True)
+    assert "jazz" not in set(labels)
+    meta = pd.read_csv(d2 / "metadata.csv")
+    assert list(meta.columns) == ["language", "genre", "filename", "file_id", "label"]
+
+
+def test_simple_vae_pipeline(preprocessed, small_cluster_cfg):
+    from tpuvae.pipelines import run_simple_vae
+
+    corpus, _, _ = preprocessed
+    cfg = SimpleVAEConfig(epochs=5, patience=50, batch_size=8)
+    df = run_simple_vae(
+        str(corpus / "processed_data1"), str(corpus / "results"), cfg,
+        small_cluster_cfg, logger=RunLogger(echo=False),
+    )
+    assert list(df["Method"]) == ["VAE + KMeans", "PCA + KMeans"]
+    assert set(df.columns) >= {"Method", "Silhouette", "Calinski-Harabasz"}
+    csv = pd.read_csv(corpus / "results" / "clustering_metrics.csv")
+    assert (csv["Architecture"] == "Simple VAE").sum() == 2
+    assert (corpus / "results" / "Simple_VAE" /
+            "tsne_visualization_simplified.png").exists()
+    assert (corpus / "results" / "Simple_VAE" / "best_vae_model" /
+            "weights.npz").exists()
+
+
+def test_cvae_pipeline(preprocessed, small_cluster_cfg):
+    from tpuvae.pipelines import run_conditional_vae
+
+    corpus, _, _ = preprocessed
+    cfg = ConditionalVAEConfig(epochs=2, patience=50, batch_size=8)
+    df = run_conditional_vae(
+        str(corpus / "processed_data2"), str(corpus / "results"), cfg,
+        small_cluster_cfg, logger=RunLogger(echo=False),
+    )
+    assert list(df["Method"]) == [
+        "CVAE (Multi-Modal)", "PCA + K-Means",
+        "Autoencoder + K-Means", "Direct Spectral",
+    ]
+    assert set(df.columns) >= {"Silhouette", "NMI", "ARI", "Purity", "Method"}
+    for png in ("reconstruction.png", "cvae_latent_tsne_genre.png",
+                "cluster_lang_distribution.png"):
+        assert (corpus / "results" / "Conditional_VAE" / png).exists(), png
+
+
+def test_hybrid_pipeline_and_csv_union(preprocessed, small_cluster_cfg):
+    from tpuvae.pipelines import run_hybrid_vae
+
+    corpus, _, _ = preprocessed
+    cfg = HybridVAEConfig(epochs=2, patience=50, batch_size=8)
+    df = run_hybrid_vae(
+        str(corpus / "processed_data2"), str(corpus / "results"), cfg,
+        small_cluster_cfg, logger=RunLogger(echo=False),
+    )
+    assert len(df) == 4
+    assert df["Algorithm"].str.startswith(
+        ("K-Means-Main", "K-Means-Language", "Agglomerative", "DBSCAN")
+    ).all()
+    assert (corpus / "results" / "Convolutional_VAE" /
+            "hybrid_latent_features.npy").exists()
+    assert (corpus / "results" / "Convolutional_VAE" / "training_loss.png").exists()
+    assert (corpus / "results" / "Convolutional_VAE" / "tsne_clusters_v2.png").exists()
+    # consolidated CSV now holds all three architectures with union columns
+    csv = pd.read_csv(corpus / "results" / "clustering_metrics.csv")
+    assert set(csv["Architecture"]) == {
+        "Simple VAE", "Conditional VAE", "Convolutional VAE",
+    }
+    assert {"Method", "Algorithm", "Silhouette"} <= set(csv.columns)

@@ -1,0 +1,120 @@
+"""Command-line interface — replaces the reference's "run the five scripts
+top to bottom" workflow (``README.md:56-87``) with subcommands:
+
+  python -m tpuvae.cli synth-data   --root=Datasets [--clips_per_genre_lang=4]
+  python -m tpuvae.cli preprocess            [--key=value ...]
+  python -m tpuvae.cli preprocess-advanced   [--key=value ...]
+  python -m tpuvae.cli train-simple          [--key=value ...]
+  python -m tpuvae.cli train-cvae            [--key=value ...]
+  python -m tpuvae.cli train-hybrid          [--key=value ...]
+  python -m tpuvae.cli all                   # full end-to-end sweep
+  python -m tpuvae.cli report                # print consolidated CSV
+
+``--key=value`` overrides map onto the stage's config dataclass; values are
+parsed as JSON first (so ``--epochs=5`` is an int).  Extra shared flags:
+``--data_dir=…``, ``--results_dir=…``.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from tpuvae.config import (
+    AdvancedPreprocessConfig,
+    ClusterConfig,
+    ConditionalVAEConfig,
+    HybridVAEConfig,
+    PreprocessConfig,
+    SimpleVAEConfig,
+)
+
+
+def _split_args(args, known: set[str]):
+    cfg_args, extras = [], {}
+    for a in args:
+        key = a.lstrip("-").split("=", 1)[0]
+        if key in known:
+            extras[key] = a.split("=", 1)[1]
+        else:
+            cfg_args.append(a)
+    return cfg_args, extras
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("-h", "--help"):
+        print(__doc__)
+        return 0
+    cmd, *rest = argv
+    shared = {"data_dir", "results_dir", "root", "clips_per_genre_lang", "seed_data"}
+    cfg_args, extras = _split_args(rest, shared)
+
+    if cmd == "synth-data":
+        from tpuvae.io import generate_dataset
+
+        meta = generate_dataset(
+            extras.get("root", "Datasets"),
+            clips_per_genre_lang=int(extras.get("clips_per_genre_lang", 4)),
+        )
+        print(f"synthetic dataset written; metadata: {meta}")
+        return 0
+
+    if cmd == "preprocess":
+        from tpuvae.pipelines import preprocess_basic
+
+        cfg = PreprocessConfig().override(cfg_args)
+        preprocess_basic(cfg)
+        return 0
+
+    if cmd == "preprocess-advanced":
+        from tpuvae.pipelines import preprocess_advanced
+
+        cfg = AdvancedPreprocessConfig().override(cfg_args)
+        preprocess_advanced(cfg)
+        return 0
+
+    if cmd in ("train-simple", "train-cvae", "train-hybrid", "all"):
+        data1 = extras.get("data_dir", "processed_data1")
+        data2 = extras.get("data_dir", "processed_data2")
+        results = extras.get("results_dir", "results")
+        if cmd in ("train-simple", "all"):
+            from tpuvae.pipelines import run_simple_vae
+
+            df = run_simple_vae(data1, results,
+                                SimpleVAEConfig().override(cfg_args)
+                                if cmd != "all" else SimpleVAEConfig())
+            print(df.to_string(index=False))
+        if cmd in ("train-cvae", "all"):
+            from tpuvae.pipelines import run_conditional_vae
+
+            df = run_conditional_vae(data2, results,
+                                     ConditionalVAEConfig().override(cfg_args)
+                                     if cmd != "all" else ConditionalVAEConfig())
+            print(df.to_string(index=False))
+        if cmd in ("train-hybrid", "all"):
+            from tpuvae.pipelines import run_hybrid_vae
+
+            df = run_hybrid_vae(data2, results,
+                                HybridVAEConfig().override(cfg_args)
+                                if cmd != "all" else HybridVAEConfig())
+            print(df.to_string(index=False))
+        return 0
+
+    if cmd == "report":
+        import pandas as pd
+
+        path = f"{extras.get('results_dir', 'results')}/clustering_metrics.csv"
+        try:
+            print(pd.read_csv(path).to_string(index=False))
+        except FileNotFoundError:
+            print(f"no results at {path}")
+            return 1
+        return 0
+
+    print(f"unknown command: {cmd}\n")
+    print(__doc__)
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

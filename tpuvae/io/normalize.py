@@ -1,0 +1,86 @@
+"""Normalizers: StandardScaler + mean SimpleImputer equivalents.
+
+Capability match of the reference's sklearn preprocessing (C9;
+``1_preprocessing.py:305-311``, ``1_preprocessing_advanced.py:376-391``):
+inf→NaN masking, column-mean imputation, per-feature standardization — but
+the reductions run on device (sharded mean/var psum under pjit when the data
+is mesh-sharded), and the fitted parameters are tiny serializable dataclasses
+persisted as the ``scaler.pkl``/``imputer.pkl`` artifacts.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass
+class MeanImputer:
+    """inf→NaN then column-mean imputation (SimpleImputer(strategy='mean'))."""
+
+    means: np.ndarray | None = None
+
+    def fit(self, x) -> "MeanImputer":
+        x = jnp.asarray(x)
+        x = jnp.where(jnp.isinf(x), jnp.nan, x)
+        self.means = np.asarray(jnp.nanmean(x, axis=0))
+        return self
+
+    def transform(self, x) -> np.ndarray:
+        x = jnp.asarray(x)
+        x = jnp.where(jnp.isinf(x), jnp.nan, x)
+        out = jnp.where(jnp.isnan(x), jnp.asarray(self.means)[None, :], x)
+        return np.asarray(out)
+
+    def fit_transform(self, x) -> np.ndarray:
+        return self.fit(x).transform(x)
+
+
+@dataclasses.dataclass
+class StandardScaler:
+    """Per-feature (x - mean) / std with population std (sklearn semantics;
+    zero-variance features pass through unscaled)."""
+
+    mean: np.ndarray | None = None
+    scale: np.ndarray | None = None
+
+    def fit(self, x) -> "StandardScaler":
+        x = jnp.asarray(x)
+        mean = jnp.mean(x, axis=0)
+        var = jnp.var(x, axis=0)
+        scale = jnp.sqrt(var)
+        scale = jnp.where(scale == 0.0, 1.0, scale)
+        self.mean, self.scale = np.asarray(mean), np.asarray(scale)
+        return self
+
+    def transform(self, x) -> np.ndarray:
+        out = (jnp.asarray(x) - jnp.asarray(self.mean)) / jnp.asarray(self.scale)
+        return np.asarray(out)
+
+    def fit_transform(self, x) -> np.ndarray:
+        return self.fit(x).transform(x)
+
+    def inverse_transform(self, x) -> np.ndarray:
+        out = jnp.asarray(x) * jnp.asarray(self.scale) + jnp.asarray(self.mean)
+        return np.asarray(out)
+
+
+def normalize_mel_images(mels: np.ndarray):
+    """Per-pixel StandardScaler over flattened (N, H·W) mel images
+    (ref ``1_preprocessing_advanced.py:376-382``)."""
+    n, h, w = mels.shape
+    scaler = StandardScaler()
+    flat = scaler.fit_transform(mels.reshape(n, -1))
+    return flat.reshape(n, h, w).astype(np.float32), scaler
+
+
+def impute_and_scale(features: np.ndarray):
+    """inf→NaN, mean-impute, standardize (ref ``1_preprocessing.py:305-311``).
+    Returns (normalized, imputer, scaler)."""
+    imputer = MeanImputer()
+    imputed = imputer.fit_transform(features)
+    scaler = StandardScaler()
+    return scaler.fit_transform(imputed).astype(np.float32), imputer, scaler

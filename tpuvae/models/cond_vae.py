@@ -18,6 +18,11 @@ class ConditionalVAE(nn.Module):
     latent_dim: int = 64
     text_dim: int = 768
     num_classes: int = 10
+    input_hw: tuple = (128, 1024)   # mel image dims; must divide 64
+
+    @property
+    def _audio_flat(self) -> int:
+        return 512 * (self.input_hw[0] // 64) * (self.input_hw[1] // 64)
 
     def setup(self):
         self.audio_encoder = ConvEncoderTrunk()
@@ -25,8 +30,9 @@ class ConditionalVAE(nn.Module):
         self.text_bn = nn.BatchNorm()
         self.fc_mu = nn.Dense(self.latent_dim)
         self.fc_logvar = nn.Dense(self.latent_dim)
-        self.decoder_fc = nn.Dense(16384 + 256)
-        self.audio_decoder = ConvDecoderTrunk()
+        self.decoder_fc = nn.Dense(self._audio_flat + 256)
+        self.audio_decoder = ConvDecoderTrunk(
+            feature_hw=(self.input_hw[0] // 64, self.input_hw[1] // 64))
         self.text_dec_fc1 = nn.Dense(512)
         self.text_dec_bn = nn.BatchNorm()
         self.text_dec_fc2 = nn.Dense(self.text_dim)
@@ -42,7 +48,7 @@ class ConditionalVAE(nn.Module):
 
     def decode(self, z, condition, *, train: bool = False):
         h = self.decoder_fc(jnp.concatenate([z, condition], axis=-1))
-        a_hidden, t_hidden = h[:, :16384], h[:, 16384:]
+        a_hidden, t_hidden = h[:, : self._audio_flat], h[:, self._audio_flat :]
         recon_audio = self.audio_decoder(a_hidden, train=train)
         t = nn.leaky_relu(
             self.text_dec_bn(

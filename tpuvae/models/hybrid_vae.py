@@ -18,6 +18,11 @@ from tpuvae.models.layers import ConvDecoderTrunk, ConvEncoderTrunk, reparameter
 class HybridVAE(nn.Module):
     latent_dim: int = 128
     text_dim: int = 768
+    input_hw: tuple = (128, 1024)   # mel image dims; must divide 64
+
+    @property
+    def _audio_flat(self) -> int:
+        return 512 * (self.input_hw[0] // 64) * (self.input_hw[1] // 64)
 
     def setup(self):
         self.audio_encoder = ConvEncoderTrunk()
@@ -31,8 +36,9 @@ class HybridVAE(nn.Module):
         self.fc_logvar = nn.Dense(self.latent_dim)
         self.decoder_input = nn.Dense(512)
         self.decoder_split = nn.Dense(1024 + 128)
-        self.audio_decoder_fc = nn.Dense(16384)
-        self.audio_decoder = ConvDecoderTrunk()
+        self.audio_decoder_fc = nn.Dense(self._audio_flat)
+        self.audio_decoder = ConvDecoderTrunk(
+            feature_hw=(self.input_hw[0] // 64, self.input_hw[1] // 64))
         self.text_dec_fc1 = nn.Dense(256)
         self.text_dec_bn = nn.BatchNorm()
         self.text_dec_fc2 = nn.Dense(self.text_dim)

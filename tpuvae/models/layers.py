@@ -62,16 +62,19 @@ class ConvEncoderTrunk(nn.Module):
 class ConvDecoderTrunk(nn.Module):
     """6× stride-2 ConvTranspose(3×3) mirror, 512→512→256→128→64→32→1.
 
-    Input (B, 16384) → (B, 2, 16, 512) → (B, 128, 1024, 1), matching the
-    audio decoders at ``Conditional_VAE.py:169-186`` and
+    Input (B, 512·fh·fw) → (B, fh, fw, 512) → (B, 64·fh, 64·fw, 1); with the
+    reference geometry fh, fw = (2, 16) this is 16384 → (128, 1024, 1),
+    matching the audio decoders at ``Conditional_VAE.py:169-186`` and
     ``Convolutional_VAE.py:122-140`` (no BN/activation after the last layer).
     """
 
     features: Sequence[int] = (512, 256, 128, 64, 32)
+    feature_hw: tuple = (2, 16)
 
     @nn.compact
     def __call__(self, x, *, train: bool):
-        x = x.reshape((x.shape[0], 2, 16, 512))
+        fh, fw = self.feature_hw
+        x = x.reshape((x.shape[0], fh, fw, 512))
         for f in self.features:
             x = nn.ConvTranspose(f, (3, 3), strides=(2, 2), padding="SAME")(x)
             x = nn.BatchNorm(use_running_average=not train)(x)

@@ -1,0 +1,561 @@
+"""End-to-end pipelines — the framework equivalents of the five reference
+scripts (SURVEY.md §3 call stacks), as library functions driven by the CLI.
+
+  preprocess_basic      ≙ src/1_preprocessing.py          → processed_data1/
+  preprocess_advanced   ≙ src/1_preprocessing_advanced.py → processed_data2/
+  run_simple_vae        ≙ src/Simple_VAE.py
+  run_conditional_vae   ≙ src/Conditional_VAE.py (main())
+  run_hybrid_vae        ≙ src/Convolutional_VAE.py
+
+Differences by design (TPU-first): feature extraction is batched on device
+(one fused program instead of per-clip librosa), training is scanned-epoch
+jit, clustering/metrics run on device, and the clip batch is sharded over
+the mesh's data axis.  Artifact and CSV contracts match the reference's.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from tpuvae.config import (
+    AdvancedPreprocessConfig,
+    ClusterConfig,
+    ConditionalVAEConfig,
+    HybridVAEConfig,
+    PreprocessConfig,
+    SimpleVAEConfig,
+)
+from tpuvae.cluster import (
+    agglomerative_k_sweep,
+    dbscan_eps_sweep,
+    kmeans,
+    kmeans_k_sweep,
+    pca_transform,
+)
+from tpuvae.dsp import extract_advanced, extract_basic_features, jit_extractor
+from tpuvae.io import (
+    collect_audio_files,
+    consolidate_metrics,
+    impute_and_scale,
+    load_advanced,
+    load_audio,
+    load_basic,
+    normalize_mel_images,
+    save_advanced,
+    save_basic,
+)
+from tpuvae.metrics import (
+    adjusted_rand_score,
+    calinski_harabasz_score,
+    compact_labels,
+    davies_bouldin_score,
+    encode_labels,
+    normalized_mutual_info,
+    one_hot_np,
+    purity_score,
+    self_distances,
+    silhouette_from_distances,
+)
+from tpuvae.models import (
+    ConditionalVAE,
+    HybridVAE,
+    SimpleAutoencoder,
+    SimpleVAE,
+)
+from tpuvae.parallel import MeshContext, batch_sharding
+from tpuvae.text import create_lyrics_embeddings
+from tpuvae.train import (
+    FitConfig,
+    autoencoder_objective,
+    create_state,
+    cvae_objective,
+    fit,
+    hybrid_objective,
+    save_checkpoint,
+    simple_vae_objective,
+)
+from tpuvae.utils import RunLogger, StageTimer
+from tpuvae.viz import (
+    cluster_language_bar,
+    loss_curve,
+    reconstruction_pair,
+    tsne,
+    tsne_by_genre,
+    tsne_cluster_language,
+    tsne_triptych,
+)
+
+
+# -----------------------------------------------------------------------------
+# Shared extraction driver
+# -----------------------------------------------------------------------------
+
+def _extract_batched(entries, extract_fn, cfg, mesh: MeshContext,
+                     logger: RunLogger | None = None):
+    """Load clips host-side in batches, extract on device, skip-and-tally
+    failures (ref per-file try/except, ``1_preprocessing.py:237-256``)."""
+    bs = cfg.extract_batch
+    ok_entries, outputs, failed = [], [], []
+    buf, buf_entries = [], []
+
+    def flush():
+        if not buf:
+            return
+        batch = np.stack(buf)
+        pad = bs - len(buf)
+        if pad:
+            batch = np.pad(batch, ((0, pad), (0, 0)))
+        arr = jax.device_put(
+            batch, batch_sharding(mesh.mesh, 2, mesh.axis)
+        )
+        out = extract_fn(arr)
+        out = jax.tree_util.tree_map(lambda o: np.asarray(o)[: len(buf)], out)
+        outputs.append(out)
+        ok_entries.extend(buf_entries)
+        buf.clear()
+        buf_entries.clear()
+
+    for e in entries:
+        try:
+            y = load_audio(e.path, cfg.sample_rate, cfg.duration)
+        except Exception as exc:  # skip-and-tally contract
+            failed.append((e.path, str(exc)))
+            continue
+        buf.append(y)
+        buf_entries.append(e)
+        if len(buf) == bs:
+            flush()
+    flush()
+    if logger:
+        logger.log("extract", ok=len(ok_entries), failed=len(failed))
+    return ok_entries, outputs, failed
+
+
+def _metadata_frame(entries, labels):
+    df = pd.DataFrame(
+        [
+            {"language": e.language, "genre": e.genre, "filename": e.filename,
+             "file_id": e.file_id}
+            for e in entries
+        ]
+    )
+    df["label"] = labels
+    return df
+
+
+# -----------------------------------------------------------------------------
+# Preprocessing pipelines
+# -----------------------------------------------------------------------------
+
+def preprocess_basic(
+    cfg: PreprocessConfig = PreprocessConfig(),
+    mesh: MeshContext | None = None,
+    logger: RunLogger | None = None,
+) -> dict:
+    mesh = mesh or MeshContext.create()
+    logger = logger or RunLogger()
+    timer = StageTimer(logger)
+    entries, skipped = collect_audio_files(
+        cfg.dataset_root, cfg.metadata_csv,
+        max_per_class=cfg.max_samples_per_class, strict=False,
+    )
+    extract = jit_extractor(extract_basic_features, cfg)
+    with timer.stage("extract_basic", items=len(entries)):
+        ok, outs, failed = _extract_batched(entries, extract, cfg, mesh, logger)
+    if not ok:
+        raise ValueError("No audio files collected! Check paths and metadata.")
+    features = np.concatenate(outs)
+    labels = np.array([e.genre for e in ok])
+    with timer.stage("normalize"):
+        normalized, imputer, scaler = impute_and_scale(features)
+    save_basic(
+        cfg.output_dir,
+        features_raw=features, features_normalized=normalized, labels=labels,
+        metadata=_metadata_frame(ok, labels)[["language", "genre", "filename", "label"]],
+        scaler=scaler, imputer=imputer, config=cfg,
+    )
+    logger.log("saved", dir=cfg.output_dir, n=len(ok),
+               feature_dim=int(features.shape[1]), failed=len(failed),
+               skipped=skipped)
+    return {"n": len(ok), "failed": failed, "stages": timer.stages}
+
+
+def preprocess_advanced(
+    cfg: AdvancedPreprocessConfig = AdvancedPreprocessConfig(),
+    mesh: MeshContext | None = None,
+    logger: RunLogger | None = None,
+    text_checkpoint: str | None = None,
+) -> dict:
+    mesh = mesh or MeshContext.create()
+    logger = logger or RunLogger()
+    timer = StageTimer(logger)
+    entries, skipped = collect_audio_files(
+        cfg.dataset_root, cfg.metadata_csv,
+        max_per_class=cfg.max_samples_per_class, strict=True,
+        exclude_genres=cfg.exclude_genres, min_lyrics_chars=cfg.min_lyrics_chars,
+    )
+    if not entries:
+        raise ValueError("No audio files collected! Check paths and metadata.")
+    extract = jit_extractor(extract_advanced, cfg)
+    with timer.stage("extract_advanced", items=len(entries)):
+        ok, outs, failed = _extract_batched(entries, extract, cfg, mesh, logger)
+    mels = np.concatenate([o[0] for o in outs])
+    flats = np.concatenate([o[1] for o in outs])
+    labels = np.array([e.genre for e in ok])
+    with timer.stage("lyrics_embeddings", items=len(ok)):
+        embeddings = create_lyrics_embeddings(
+            [e.lyrics for e in ok], checkpoint=text_checkpoint
+        )
+    assert len(mels) == len(embeddings), "Mismatch between audio and lyrics samples!"
+    with timer.stage("normalize"):
+        mel_norm, mel_scaler = normalize_mel_images(mels)
+        flat_norm, imputer, flat_scaler = impute_and_scale(flats)
+    save_advanced(
+        cfg.output_dir,
+        mel_raw=mels, mel_normalized=mel_norm,
+        features_raw=flats, features_normalized=flat_norm,
+        lyrics_embeddings=embeddings, labels=labels,
+        metadata=_metadata_frame(ok, labels),
+        mel_scaler=mel_scaler, flat_scaler=flat_scaler, imputer=imputer,
+        config=cfg,
+    )
+    logger.log("saved", dir=cfg.output_dir, n=len(ok), failed=len(failed),
+               skipped=skipped)
+    return {"n": len(ok), "failed": failed, "stages": timer.stages}
+
+
+# -----------------------------------------------------------------------------
+# Shared evaluation helper (ref evaluate_clustering, Conditional_VAE.py:289-308)
+# -----------------------------------------------------------------------------
+
+def evaluate_clustering(latents, y_true_codes, n_true: int,
+                        seed: int = 42) -> dict:
+    """KMeans with k = #true classes; Silhouette + NMI + ARI + Purity."""
+    km = kmeans(latents, n_true, n_init=10, seed=seed)
+    lab, k = compact_labels(km.labels)
+    x = jnp.asarray(latents, jnp.float32)
+    sil = float(silhouette_from_distances(self_distances(x), jnp.asarray(lab), k))
+    yt = jnp.asarray(y_true_codes)
+    yp = jnp.asarray(lab)
+    return {
+        "Silhouette": sil,
+        "NMI": float(normalized_mutual_info(yt, yp, n_true, k)),
+        "ARI": float(adjusted_rand_score(yt, yp, n_true, k)),
+        "Purity": float(purity_score(yt, yp, n_true, k)),
+    }
+
+
+def _batched_latents(apply_latent, arrays, batch_size: int = 32) -> np.ndarray:
+    """Whole-dataset encoder-mean extraction, re-batched to bound memory
+    (the reference encodes all N hi-res mels in ONE tensor,
+    ``Conditional_VAE.py:398-402`` — a peak-memory hazard on any device)."""
+    n = arrays[0].shape[0]
+    outs = []
+    for i in range(0, n, batch_size):
+        chunk = [a[i : i + batch_size] for a in arrays]
+        pad = batch_size - chunk[0].shape[0]
+        if pad:
+            chunk = [np.pad(c, ((0, pad),) + ((0, 0),) * (c.ndim - 1)) for c in chunk]
+        mu = apply_latent(*[jnp.asarray(c) for c in chunk])
+        outs.append(np.asarray(mu)[: batch_size - pad if pad else batch_size])
+    return np.concatenate(outs)
+
+
+# -----------------------------------------------------------------------------
+# Simple VAE pipeline (≙ src/Simple_VAE.py)
+# -----------------------------------------------------------------------------
+
+def run_simple_vae(
+    data_dir: str = "processed_data1",
+    results_dir: str = "results",
+    cfg: SimpleVAEConfig = SimpleVAEConfig(),
+    ccfg: ClusterConfig = ClusterConfig(),
+    logger: RunLogger | None = None,
+    make_plots: bool = True,
+) -> pd.DataFrame:
+    logger = logger or RunLogger()
+    data = load_basic(data_dir)
+    features = np.asarray(data["features"], np.float32)
+    metadata = data["metadata"]
+    input_dim = features.shape[1]
+
+    model = SimpleVAE(input_dim=input_dim, hidden_dims=tuple(cfg.hidden_dims),
+                      latent_dim=cfg.latent_dim, dropout=cfg.dropout)
+    key = jax.random.PRNGKey(cfg.seed)
+    state = create_state(model, key, (jnp.asarray(features[:2]), key),
+                         cfg.learning_rate, train=True)
+    fit_cfg = FitConfig(
+        epochs=cfg.epochs, batch_size=cfg.batch_size, patience=cfg.patience,
+        monitor="train", restore_best=True,
+        plateau_patience=cfg.plateau_patience, plateau_factor=cfg.plateau_factor,
+        seed=cfg.seed,
+    )
+    res = fit(state, simple_vae_objective(cfg.beta), (features,), fit_cfg,
+              logger=logger)
+    save_checkpoint(f"{results_dir}/Simple_VAE/best_vae_model",
+                    res.state.params, res.state.batch_stats,
+                    {"best_epoch": res.best_epoch})
+
+    variables = {"params": res.state.params, "batch_stats": res.state.batch_stats}
+    latents = _batched_latents(
+        lambda x: model.apply(variables, x, method=SimpleVAE.latent),
+        (features,), cfg.batch_size,
+    )
+    logger.log("latents", shape=list(latents.shape))
+
+    # K-sweep by silhouette (ref :239-252)
+    sweep = kmeans_k_sweep(latents, ccfg.simple_k_sweep,
+                           n_init=ccfg.kmeans_n_init, seed=ccfg.seed)
+    best_k = int(sweep.best_param)
+    vae_clusters = sweep.best_labels
+    lab, k = compact_labels(vae_clusters)
+    xl = jnp.asarray(latents)
+    vae_sil = float(silhouette_from_distances(self_distances(xl),
+                                              jnp.asarray(lab), k))
+    vae_ch = float(calinski_harabasz_score(xl, jnp.asarray(lab), k))
+
+    # PCA(latent_dim)+KMeans baseline (ref :258-263)
+    pca_feats = pca_transform(features, cfg.latent_dim)
+    pca_res = kmeans(pca_feats, best_k, n_init=ccfg.kmeans_n_init, seed=ccfg.seed)
+    plab, pk = compact_labels(pca_res.labels)
+    xp = jnp.asarray(pca_feats)
+    pca_sil = float(silhouette_from_distances(self_distances(xp),
+                                              jnp.asarray(plab), pk))
+    pca_ch = float(calinski_harabasz_score(xp, jnp.asarray(plab), pk))
+
+    df = pd.DataFrame({
+        "Method": ["VAE + KMeans", "PCA + KMeans"],
+        "Silhouette": [vae_sil, pca_sil],
+        "Calinski-Harabasz": [vae_ch, pca_ch],
+    })
+    consolidate_metrics(results_dir, df, "Simple VAE")
+    logger.log("metrics", architecture="Simple VAE",
+               rows=df.to_dict("records"))
+
+    if make_plots:
+        xy = tsne(latents, perplexity=ccfg.tsne_perplexity, seed=ccfg.seed)
+        tsne_cluster_language(
+            xy, vae_clusters, metadata["language"].values, best_k,
+            f"{results_dir}/Simple_VAE/tsne_visualization_simplified.png",
+        )
+    return df
+
+
+# -----------------------------------------------------------------------------
+# Conditional VAE pipeline (≙ src/Conditional_VAE.py main())
+# -----------------------------------------------------------------------------
+
+def run_conditional_vae(
+    data_dir: str = "processed_data2",
+    results_dir: str = "results",
+    cfg: ConditionalVAEConfig = ConditionalVAEConfig(),
+    ccfg: ClusterConfig = ClusterConfig(),
+    logger: RunLogger | None = None,
+    make_plots: bool = True,
+) -> pd.DataFrame:
+    logger = logger or RunLogger()
+    data = load_advanced(data_dir)
+    mel = np.asarray(data["mel"], np.float32)[..., None]      # NHWC
+    text = np.asarray(data["text"], np.float32)
+    handcrafted = np.asarray(data["handcrafted"], np.float32)
+    metadata = data["metadata"]
+    y_genre, genre_names = encode_labels(metadata["genre"].values)
+    y_lang, lang_names = encode_labels(metadata["language"].values)
+    cond = one_hot_np(y_genre)
+    n_classes = cond.shape[1]
+
+    model = ConditionalVAE(latent_dim=cfg.latent_dim, text_dim=text.shape[1],
+                           num_classes=n_classes,
+                           input_hw=(mel.shape[1], mel.shape[2]))
+    key = jax.random.PRNGKey(cfg.seed)
+    state = create_state(
+        model, key,
+        (jnp.asarray(mel[:1]), jnp.asarray(text[:1]), jnp.asarray(cond[:1]), key),
+        cfg.learning_rate, train=True,
+    )
+    from tpuvae.train import train_val_split
+
+    tr, va = train_val_split(len(mel), cfg.val_fraction, cfg.seed)
+    fit_cfg = FitConfig(
+        epochs=cfg.epochs, batch_size=cfg.batch_size, patience=cfg.patience,
+        monitor="val", restore_best=False, seed=cfg.seed,
+    )
+    res = fit(
+        state, cvae_objective(cfg.beta, cfg.text_loss_weight),
+        (mel[tr], text[tr], cond[tr]), fit_cfg,
+        val_data=(mel[va], text[va], cond[va]), logger=logger,
+    )
+
+    variables = {"params": res.state.params, "batch_stats": res.state.batch_stats}
+    z_cvae = _batched_latents(
+        lambda a, t, c: model.apply(variables, a, t, c,
+                                    method=ConditionalVAE.latent),
+        (mel, text, cond), cfg.batch_size,
+    )
+
+    results = []
+    m = evaluate_clustering(z_cvae, y_genre, n_classes, ccfg.seed)
+    m["Method"] = "CVAE (Multi-Modal)"
+    results.append(m)
+
+    # PCA + KMeans on handcrafted (ref :419-426)
+    z_pca = pca_transform(handcrafted, cfg.latent_dim)
+    m = evaluate_clustering(z_pca, y_genre, n_classes, ccfg.seed)
+    m["Method"] = "PCA + K-Means"
+    results.append(m)
+
+    # Autoencoder + KMeans (ref :429-452: 50 epochs, Adam 1e-3, bs 32)
+    ae = SimpleAutoencoder(input_dim=handcrafted.shape[1],
+                           latent_dim=cfg.latent_dim)
+    ae_state = create_state(ae, key, (jnp.asarray(handcrafted[:2]),), 1e-3)
+    ae_fit = FitConfig(epochs=50, batch_size=32, patience=10**9, seed=cfg.seed)
+    ae_res = fit(ae_state, autoencoder_objective(), (handcrafted,), ae_fit)
+    _, z_ae = ae.apply({"params": ae_res.state.params},
+                       jnp.asarray(handcrafted))
+    m = evaluate_clustering(np.asarray(z_ae), y_genre, n_classes, ccfg.seed)
+    m["Method"] = "Autoencoder + K-Means"
+    results.append(m)
+
+    # "Direct Spectral" — actually KMeans on raw handcrafted (ref :454-459,
+    # misnamed in the reference; preserved for CSV parity)
+    m = evaluate_clustering(handcrafted, y_genre, n_classes, ccfg.seed)
+    m["Method"] = "Direct Spectral"
+    results.append(m)
+
+    df = pd.DataFrame(results)
+    consolidate_metrics(results_dir, df, "Conditional VAE",
+                        per_arch_subdir="Conditional_VAE")
+    logger.log("metrics", architecture="Conditional VAE",
+               rows=df.to_dict("records"))
+
+    if make_plots:
+        # reconstruction pair from one batch (ref :496-511)
+        rng = jax.random.PRNGKey(cfg.seed)
+        ra, _, _, _ = model.apply(
+            variables, jnp.asarray(mel[:1]), jnp.asarray(text[:1]),
+            jnp.asarray(cond[:1]), rng, train=False,
+        )
+        reconstruction_pair(
+            mel[0, :, :, 0], np.asarray(ra)[0, :, :, 0],
+            f"{results_dir}/Conditional_VAE/reconstruction.png",
+        )
+        xy = tsne(z_cvae, perplexity=ccfg.tsne_perplexity, seed=ccfg.seed)
+        tsne_by_genre(xy, y_genre, genre_names,
+                      f"{results_dir}/Conditional_VAE/cvae_latent_tsne_genre.png")
+        km = kmeans(z_cvae, n_classes, n_init=ccfg.kmeans_n_init, seed=ccfg.seed)
+        cluster_language_bar(
+            km.labels, y_lang, lang_names,
+            f"{results_dir}/Conditional_VAE/cluster_lang_distribution.png",
+        )
+    return df
+
+
+# -----------------------------------------------------------------------------
+# Hybrid VAE pipeline (≙ src/Convolutional_VAE.py)
+# -----------------------------------------------------------------------------
+
+def run_hybrid_vae(
+    data_dir: str = "processed_data2",
+    results_dir: str = "results",
+    cfg: HybridVAEConfig = HybridVAEConfig(),
+    ccfg: ClusterConfig = ClusterConfig(),
+    logger: RunLogger | None = None,
+    make_plots: bool = True,
+) -> pd.DataFrame:
+    logger = logger or RunLogger()
+    data = load_advanced(data_dir)
+    mel = np.asarray(data["mel"], np.float32)[..., None]
+    text = np.asarray(data["text"], np.float32)
+    metadata = data["metadata"]
+    y_genre, genre_names = encode_labels(metadata["genre"].values)
+    y_lang, _ = encode_labels(metadata["language"].values)
+    n_classes = len(genre_names)
+
+    model = HybridVAE(latent_dim=cfg.latent_dim, text_dim=text.shape[1],
+                      input_hw=(mel.shape[1], mel.shape[2]))
+    key = jax.random.PRNGKey(cfg.seed)
+    state = create_state(model, key,
+                         (jnp.asarray(mel[:1]), jnp.asarray(text[:1]), key),
+                         cfg.learning_rate, train=True)
+    from tpuvae.train import train_val_split
+
+    tr, va = train_val_split(len(mel), cfg.val_fraction, cfg.seed)
+    fit_cfg = FitConfig(
+        epochs=cfg.epochs, batch_size=cfg.batch_size, patience=cfg.patience,
+        monitor="val", restore_best=False, loss_normalizer="per_dataset",
+        seed=cfg.seed, log_every=1,
+    )
+    res = fit(
+        state, hybrid_objective(cfg.beta, cfg.text_loss_weight),
+        (mel[tr], text[tr]), fit_cfg,
+        val_data=(mel[va], text[va]), logger=logger,
+    )
+    if make_plots:
+        loss_curve(res.history["train_loss"],
+                   f"{results_dir}/Convolutional_VAE/training_loss.png")
+
+    variables = {"params": res.state.params, "batch_stats": res.state.batch_stats}
+    latents = _batched_latents(
+        lambda a, t: model.apply(variables, a, t, method=HybridVAE.latent),
+        (mel, text), cfg.batch_size,
+    )
+    np.save(f"{results_dir}/Convolutional_VAE/hybrid_latent_features.npy"
+            if make_plots else "/tmp/hybrid_latent_features.npy", latents)
+    logger.log("latents", shape=list(latents.shape))
+
+    k_range = range(ccfg.hybrid_k_min, ccfg.hybrid_k_max + 1)
+    km_sweep = kmeans_k_sweep(latents, k_range, n_init=ccfg.kmeans_n_init,
+                              seed=ccfg.seed)
+    agg_sweep = agglomerative_k_sweep(latents, k_range)
+    eps_values = np.arange(ccfg.dbscan_eps_min, ccfg.dbscan_eps_max + 1e-9,
+                           ccfg.dbscan_eps_step)
+    db_sweep = dbscan_eps_sweep(latents, eps_values,
+                                min_samples=ccfg.dbscan_min_samples,
+                                fallback_eps=ccfg.dbscan_fallback_eps)
+    logger.log("sweeps", kmeans_k=km_sweep.best_param,
+               agg_k=agg_sweep.best_param, dbscan_eps=db_sweep.best_param)
+
+    best_k = int(km_sweep.best_param)
+    lang_km = kmeans(latents, 2, n_init=ccfg.kmeans_n_init, seed=ccfg.seed)
+    algos = {
+        f"K-Means-Main (k={best_k})": km_sweep.best_labels,
+        "K-Means-Language (k=2)": lang_km.labels,
+        f"Agglomerative (k={int(agg_sweep.best_param)})": agg_sweep.best_labels,
+        f"DBSCAN (eps={float(db_sweep.best_param):.1f})": db_sweep.best_labels,
+    }
+    dist = self_distances(jnp.asarray(latents, jnp.float32))
+    rows = []
+    for name, labels_pred in algos.items():
+        n_found = len(set(labels_pred.tolist()) - {-1})
+        if n_found > 1:
+            lab, k = compact_labels(labels_pred)
+            sil = float(silhouette_from_distances(dist, jnp.asarray(lab), k))
+            db = float(davies_bouldin_score(jnp.asarray(latents), jnp.asarray(lab), k))
+            yt = jnp.asarray(y_genre)
+            ari = float(adjusted_rand_score(yt, jnp.asarray(lab), n_classes, k))
+            rows.append({"Algorithm": name, "Silhouette": sil,
+                         "Davies-Bouldin": db, "ARI": ari,
+                         "n_clusters": n_found})
+        else:  # ref :419-426
+            rows.append({"Algorithm": name, "Silhouette": -1,
+                         "Davies-Bouldin": -1, "ARI": -1,
+                         "n_clusters": n_found})
+    df = pd.DataFrame(rows)
+    consolidate_metrics(results_dir, df, "Convolutional VAE",
+                        per_arch_subdir="Convolutional_VAE")
+    logger.log("metrics", architecture="Convolutional VAE",
+               rows=df.to_dict("records"))
+
+    if make_plots:
+        xy = tsne(latents, seed=ccfg.seed)
+        tsne_triptych(
+            xy, algos[f"K-Means-Main (k={best_k})"],
+            algos["K-Means-Language (k=2)"], y_genre, best_k,
+            f"{results_dir}/Convolutional_VAE/tsne_clusters_v2.png",
+        )
+    return df
