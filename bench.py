@@ -1,0 +1,84 @@
+"""Benchmark: batched TPU feature extraction vs serial CPU baseline.
+
+Prints ONE JSON line to stdout:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The headline target (BASELINE.md) is feature-extraction throughput for the
+full 370-d vector chain (mel+MFCC+spectral+chroma incl. tuning estimation)
+on 30 s / 22050 Hz clips.  The reference publishes no numbers, so the
+baseline is self-measured here: the same algorithm chain run serially per
+clip in numpy (tests/reference_dsp.py — an independent implementation of
+librosa's algorithms, the reference's compute path), exactly how the
+reference's ``process_audio_files`` loop works (1_preprocessing.py:223-258).
+Progress goes to stderr; only the JSON line hits stdout.
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).parent))
+sys.path.insert(0, str(Path(__file__).parent / "tests"))
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from tpuvae.config import PreprocessConfig
+    from tpuvae.dsp import extract_basic_features, jit_extractor
+    from tpuvae.io import generate_memory_batch
+
+    cfg = PreprocessConfig()
+    backend = jax.default_backend()
+    log(f"backend: {backend}, devices: {jax.devices()}")
+
+    batch = 32
+    clips, _ = generate_memory_batch(
+        n_per_genre=batch // 4 + 1, genres=("rock", "classical", "pop", "folk"),
+        duration=cfg.duration, seed=7,
+    )
+    clips = clips[:batch].astype(np.float32)
+    log(f"clips: {clips.shape}")
+
+    # --- CPU serial baseline (reference-equivalent numpy chain) ------------
+    import reference_dsp as ref
+
+    n_cpu = 2
+    t0 = time.time()
+    for i in range(n_cpu):
+        ref.basic_feature_vector(clips[i], cfg.sample_rate)
+    cpu_clips_per_sec = n_cpu / (time.time() - t0)
+    log(f"CPU serial baseline: {cpu_clips_per_sec:.3f} clips/s")
+
+    # --- TPU batched ---------------------------------------------------------
+    fn = jit_extractor(extract_basic_features, cfg)
+    x = jnp.asarray(clips)
+    t0 = time.time()
+    np.asarray(fn(x))
+    log(f"compile+first run: {time.time() - t0:.1f}s")
+    reps = 5
+    t0 = time.time()
+    for _ in range(reps):
+        out = fn(x)
+    np.asarray(out)
+    tpu_clips_per_sec = reps * batch / (time.time() - t0)
+    log(f"TPU batched: {tpu_clips_per_sec:.1f} clips/s (batch {batch})")
+
+    print(json.dumps({
+        "metric": "feature_extraction_throughput_370d_30s_clips",
+        "value": round(tpu_clips_per_sec, 2),
+        "unit": "clips/sec",
+        "vs_baseline": round(tpu_clips_per_sec / cpu_clips_per_sec, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

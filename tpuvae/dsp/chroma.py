@@ -103,15 +103,48 @@ def piptrack_from_power(
     return pitches, mags
 
 
+def _float_order_key(x: jnp.ndarray) -> jnp.ndarray:
+    """Monotone float32 → uint32 mapping (total order, sign-aware)."""
+    bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    neg = (bits >> 31) == 1
+    return jnp.where(neg, ~bits, bits | jnp.uint32(0x80000000))
+
+
+def _key_to_float(key: jnp.ndarray) -> jnp.ndarray:
+    neg = (key >> 31) == 0
+    bits = jnp.where(neg, ~key, key & jnp.uint32(0x7FFFFFFF))
+    return jax.lax.bitcast_convert_type(bits, jnp.float32)
+
+
+def _masked_kth_smallest(keys: jnp.ndarray, mask: jnp.ndarray, k) -> jnp.ndarray:
+    """(k+1)-th smallest masked key via 32-round binary search on the uint32
+    order space — O(n) counting passes instead of an O(n log n) sort (the
+    sort dominated the whole extraction pipeline on TPU)."""
+    def body(_, state):
+        lo, hi = state
+        mid = lo + (hi - lo) // jnp.uint32(2)
+        cnt = jnp.sum(jnp.where(mask & (keys <= mid), 1, 0))
+        found = cnt >= k + 1
+        return jnp.where(found, lo, mid + jnp.uint32(1)), jnp.where(found, mid, hi)
+
+    lo, hi = jax.lax.fori_loop(
+        0, 32, body, (jnp.uint32(0), jnp.uint32(0xFFFFFFFF))
+    )
+    return lo
+
+
 def _masked_median(values: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """Median of ``values[mask]`` (numpy convention), 0 if the mask is empty."""
-    v = jnp.where(mask, values, jnp.inf).ravel()
-    v = jnp.sort(v)
-    n = jnp.sum(mask)
-    lo = v[jnp.maximum((n - 1) // 2, 0)]
-    hi = v[jnp.maximum(n // 2, 0)]
-    med = 0.5 * (lo + hi)
-    return jnp.where(n > 0, med, 0.0)
+    keys = _float_order_key(values.ravel())
+    m = mask.ravel()
+    n = jnp.sum(m)
+    k_lo = jnp.maximum((n - 1) // 2, 0)
+    k_hi = jnp.maximum(n // 2, 0)
+    v_lo = _key_to_float(_masked_kth_smallest(keys, m, k_lo))
+    v_hi = jnp.where(
+        k_hi == k_lo, v_lo, _key_to_float(_masked_kth_smallest(keys, m, k_hi))
+    )
+    return jnp.where(n > 0, 0.5 * (v_lo + v_hi), 0.0)
 
 
 def estimate_tuning_from_power(
