@@ -1,0 +1,219 @@
+// Native audio loader: RIFF/WAVE decode + mono mixdown + polyphase
+// windowed-sinc resampling + truncate/zero-pad.
+//
+// TPU-native equivalent of the reference's librosa.load path
+// (src/1_preprocessing.py:137-153), whose decoding/resampling runs in
+// third-party C (soundfile/audioread + soxr/resampy).  Exposed as a C ABI
+// consumed via ctypes from tpuvae.io.native_loader; the Python numpy/scipy
+// implementation in tpuvae.io.wav is the behavioral reference and fallback.
+//
+// Build: g++ -O3 -march=native -shared -fPIC -o libwavload.so wavload.cpp
+// (see native/Makefile)
+
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <numeric>
+#include <vector>
+
+namespace {
+
+struct WavData {
+  std::vector<float> samples;  // interleaved
+  int channels = 0;
+  int sample_rate = 0;
+};
+
+bool read_wav(const char* path, WavData* out) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return false;
+  char riff[4], wave[4];
+  uint32_t riff_size;
+  if (std::fread(riff, 1, 4, f) != 4 || std::memcmp(riff, "RIFF", 4) ||
+      std::fread(&riff_size, 4, 1, f) != 1 ||
+      std::fread(wave, 1, 4, f) != 4 || std::memcmp(wave, "WAVE", 4)) {
+    std::fclose(f);
+    return false;
+  }
+  uint16_t fmt_code = 0, channels = 0, bits = 0;
+  uint32_t sr = 0;
+  std::vector<uint8_t> data;
+  bool have_fmt = false, have_data = false;
+  char cid[4];
+  uint32_t csize;
+  while (std::fread(cid, 1, 4, f) == 4 && std::fread(&csize, 4, 1, f) == 1) {
+    if (!std::memcmp(cid, "fmt ", 4)) {
+      uint8_t buf[16];
+      if (csize < 16 || std::fread(buf, 1, 16, f) != 16) break;
+      std::memcpy(&fmt_code, buf + 0, 2);
+      std::memcpy(&channels, buf + 2, 2);
+      std::memcpy(&sr, buf + 4, 4);
+      std::memcpy(&bits, buf + 14, 2);
+      if (csize > 16) std::fseek(f, csize - 16, SEEK_CUR);
+      have_fmt = true;
+    } else if (!std::memcmp(cid, "data", 4)) {
+      data.resize(csize);
+      if (std::fread(data.data(), 1, csize, f) != csize) break;
+      have_data = true;
+    } else {
+      std::fseek(f, csize + (csize & 1), SEEK_CUR);
+    }
+  }
+  std::fclose(f);
+  if (!have_fmt || !have_data || channels == 0) return false;
+  if (fmt_code == 0xFFFE) fmt_code = (bits == 32) ? 3 : 1;
+
+  size_t n = 0;
+  std::vector<float> s;
+  if (fmt_code == 1 && bits == 16) {
+    n = data.size() / 2;
+    s.resize(n);
+    const int16_t* p = reinterpret_cast<const int16_t*>(data.data());
+    for (size_t i = 0; i < n; ++i) s[i] = p[i] / 32768.0f;
+  } else if (fmt_code == 1 && bits == 8) {
+    n = data.size();
+    s.resize(n);
+    for (size_t i = 0; i < n; ++i) s[i] = (data[i] - 128.0f) / 128.0f;
+  } else if (fmt_code == 1 && bits == 24) {
+    n = data.size() / 3;
+    s.resize(n);
+    for (size_t i = 0; i < n; ++i) {
+      int32_t v = data[3 * i] | (data[3 * i + 1] << 8) |
+                  (data[3 * i + 2] << 16);
+      if (v >= (1 << 23)) v -= (1 << 24);
+      s[i] = v / float(1 << 23);
+    }
+  } else if (fmt_code == 1 && bits == 32) {
+    n = data.size() / 4;
+    s.resize(n);
+    const int32_t* p = reinterpret_cast<const int32_t*>(data.data());
+    for (size_t i = 0; i < n; ++i) s[i] = p[i] / 2147483648.0f;
+  } else if (fmt_code == 3 && bits == 32) {
+    n = data.size() / 4;
+    s.resize(n);
+    std::memcpy(s.data(), data.data(), n * 4);
+  } else {
+    return false;
+  }
+  out->samples = std::move(s);
+  out->channels = channels;
+  out->sample_rate = int(sr);
+  return true;
+}
+
+double sinc(double x) {
+  if (std::fabs(x) < 1e-12) return 1.0;
+  const double px = M_PI * x;
+  return std::sin(px) / px;
+}
+
+double i0(double x) {
+  // modified Bessel I0 (series), for the Kaiser window
+  double sum = 1.0, term = 1.0;
+  const double y = x * x / 4.0;
+  for (int k = 1; k < 64; ++k) {
+    term *= y / (double(k) * k);
+    sum += term;
+    if (term < 1e-16 * sum) break;
+  }
+  return sum;
+}
+
+// Polyphase windowed-sinc resampling mono `in` from sr_in to sr_out.
+std::vector<float> resample(const std::vector<float>& in, int sr_in,
+                            int sr_out) {
+  if (sr_in == sr_out) return in;
+  const int g = int(std::gcd(sr_in, sr_out));
+  const int up = sr_out / g, down = sr_in / g;
+  // Kaiser(5.0)-windowed sinc low-pass at min(sr_in, sr_out)/2 in the
+  // upsampled domain, 10 zero-crossings half-width, DC-normalized —
+  // the scipy.signal.resample_poly default the Python fallback uses.
+  const int half_zeros = 10;
+  const double cutoff = 1.0 / std::max(up, down);
+  const double beta = 5.0;
+  const int L = 2 * half_zeros * std::max(up, down) + 1;
+  std::vector<double> h(L, 0.0);
+  const int mid = L / 2;
+  const double denom = i0(beta);
+  double dc = 0.0;
+  for (int i = 0; i < L; ++i) {
+    const double t = double(i - mid);
+    const double w =
+        i0(beta * std::sqrt(std::max(0.0, 1.0 - (t / mid) * (t / mid)))) /
+        denom;
+    h[i] = cutoff * sinc(cutoff * t) * w;
+    dc += h[i];
+  }
+  for (int i = 0; i < L; ++i) h[i] *= up / dc;  // firwin scale + up gain
+  const int64_t n_out = (int64_t(in.size()) * up + down - 1) / down;
+  std::vector<float> out(size_t(n_out), 0.0f);
+  for (int64_t j = 0; j < n_out; ++j) {
+    // output j corresponds to upsampled index j*down
+    const int64_t center = j * down;
+    double acc = 0.0;
+    // sum over input samples i where upsampled index i*up within filter
+    const int64_t i_lo = (center - mid + up - 1) / up;
+    const int64_t i_hi = (center + mid) / up;
+    for (int64_t i = std::max<int64_t>(0, i_lo);
+         i <= std::min<int64_t>(int64_t(in.size()) - 1, i_hi); ++i) {
+      const int64_t tap = center - i * up + mid;
+      acc += double(in[size_t(i)]) * h[size_t(tap)];
+    }
+    out[size_t(j)] = float(acc);
+  }
+  return out;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode + mono + resample + truncate/pad.  Returns 0 on success.
+// out must hold out_len floats (= target_sr * duration).
+int tpuvae_load_audio(const char* path, int target_sr, double duration,
+                      float* out, int64_t out_len) {
+  WavData w;
+  if (!read_wav(path, &w)) return 1;
+  // mono mixdown
+  const size_t frames = w.samples.size() / size_t(w.channels);
+  std::vector<float> mono(frames);
+  if (w.channels == 1) {
+    mono = std::move(w.samples);
+  } else {
+    for (size_t i = 0; i < frames; ++i) {
+      double acc = 0.0;
+      for (int c = 0; c < w.channels; ++c)
+        acc += w.samples[i * w.channels + c];
+      mono[i] = float(acc / w.channels);
+    }
+  }
+  // truncate at native rate first (librosa truncates at load)
+  if (duration > 0) {
+    const size_t keep =
+        size_t(std::llround(duration * double(w.sample_rate)));
+    if (mono.size() > keep) mono.resize(keep);
+  }
+  std::vector<float> res = resample(mono, w.sample_rate, target_sr);
+  const size_t n = size_t(out_len);
+  for (size_t i = 0; i < n; ++i) out[i] = (i < res.size()) ? res[i] : 0.0f;
+  return 0;
+}
+
+// Batch variant: decode `count` paths (NUL-separated) into a contiguous
+// (count, out_len) buffer.  Per-file failures zero-fill and set status[i]=1.
+int tpuvae_load_audio_batch(const char* paths, int count, int target_sr,
+                            double duration, float* out, int64_t out_len,
+                            int* status) {
+  const char* p = paths;
+  for (int i = 0; i < count; ++i) {
+    float* row = out + int64_t(i) * out_len;
+    status[i] = tpuvae_load_audio(p, target_sr, duration, row, out_len);
+    if (status[i] != 0) std::memset(row, 0, size_t(out_len) * sizeof(float));
+    p += std::strlen(p) + 1;
+  }
+  return 0;
+}
+
+int tpuvae_native_version() { return 1; }
+}

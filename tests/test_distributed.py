@@ -1,0 +1,124 @@
+"""Mesh/sharding tests on the 8-virtual-device CPU backend (SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from tpuvae.parallel import (
+    MeshContext,
+    all_gather_latents,
+    batch_sharding,
+    make_mesh,
+    pad_to_multiple,
+    shard_batch,
+)
+from tpuvae.parallel.dp import make_dp_train_step
+
+
+def test_mesh_uses_all_devices():
+    mesh = make_mesh((-1,), ("data",))
+    assert mesh.size == 8
+    mesh2 = make_mesh((4,), ("data",))
+    assert mesh2.size == 4
+
+
+def test_pad_and_shard_roundtrip():
+    mesh = make_mesh((-1,), ("data",))
+    x = np.arange(10 * 3, dtype=np.float32).reshape(10, 3)
+    arr, n = shard_batch(mesh, x)
+    assert n == 10 and arr.shape == (16, 3)     # padded to multiple of 8
+    back = all_gather_latents(arr, n)
+    np.testing.assert_array_equal(back, x)
+
+
+def test_sharded_extraction_matches_single_device():
+    """Batch-sharded DSP extraction must equal unsharded results.
+
+    Clips include a noise floor so no mel bin sits at fp-noise level
+    (near-silent bins make dB values reduction-order sensitive)."""
+    from tpuvae.config import PreprocessConfig
+    from tpuvae.dsp import extract_basic_features, jit_extractor
+
+    rng = np.random.default_rng(42)
+    sr = 22050
+    t = np.arange(sr) / sr
+    y8 = np.stack([
+        0.5 * np.sin(2 * np.pi * (100 + 60 * k) * t)
+        + 0.01 * rng.standard_normal(sr)
+        for k in range(8)
+    ]).astype(np.float32)
+    cfg = PreprocessConfig(duration=1.0)
+    fn = jit_extractor(extract_basic_features, cfg)
+    plain = np.asarray(fn(jnp.asarray(y8)))
+    mesh = make_mesh((-1,), ("data",))
+    sharded_in = jax.device_put(y8, batch_sharding(mesh, 2))
+    sharded = np.asarray(fn(sharded_in))
+    np.testing.assert_allclose(plain, sharded, rtol=1e-3, atol=5e-3)
+
+
+def test_dp_step_matches_single_device_step():
+    """One DP step over 8 devices == the same step on one device.
+
+    Uses SGD: Adam's first step is ≈ lr·sign(g) (bias-corrected m̂/√v̂),
+    which flips on fp-noise-level gradients and makes the comparison
+    meaningless even when the DP gradients are correct."""
+    import optax
+    from flax import core
+
+    from tpuvae.models import SimpleVAE
+    from tpuvae.train import TrainState, simple_vae_objective
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(16, 12)).astype(np.float32)
+    model = SimpleVAE(input_dim=12, hidden_dims=(8,), latent_dim=4)
+    key = jax.random.PRNGKey(0)
+
+    def build():
+        variables = model.init({"params": key, "dropout": key},
+                               jnp.asarray(x[:2]), key, train=True)
+        return TrainState.create(
+            apply_fn=model.apply, params=variables["params"],
+            batch_stats=variables.get("batch_stats", core.FrozenDict()),
+            tx=optax.sgd(1e-2),
+        )
+
+    obj = simple_vae_objective(beta=0.5)
+
+    mesh8 = make_mesh((8,), ("data",))
+    s8, loss8 = make_dp_train_step(obj, mesh8)(build(), (jnp.asarray(x),), key)
+
+    mesh1 = make_mesh((1,), ("data",))
+    s1, loss1 = make_dp_train_step(obj, mesh1)(build(), (jnp.asarray(x),), key)
+
+    np.testing.assert_allclose(float(loss8), float(loss1), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s8.params),
+                    jax.tree_util.tree_leaves(s1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_fit_runs_on_sharded_inputs():
+    """fit() accepts mesh-sharded datasets and trains identically-shaped state."""
+    from tpuvae.models import SimpleVAE
+    from tpuvae.train import FitConfig, create_state, fit, simple_vae_objective
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(64, 12)).astype(np.float32)
+    ctx = MeshContext.create()
+    arr, n = ctx.shard(x)
+    model = SimpleVAE(input_dim=12, hidden_dims=(8,), latent_dim=4)
+    key = jax.random.PRNGKey(0)
+    state = create_state(model, key, (jnp.asarray(x[:2]), key), 1e-2, train=True)
+    cfg = FitConfig(epochs=3, batch_size=16, patience=10, seed=0)
+    res = fit(state, simple_vae_objective(beta=0.5), (arr[:n],), cfg)
+    assert len(res.history["train_loss"]) == 3
+    assert np.isfinite(res.history["train_loss"]).all()
+
+
+def test_graft_dryrun_multichip():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)

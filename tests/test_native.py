@@ -1,0 +1,62 @@
+"""Native C++ audio loader vs the Python reference path."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tpuvae.io import load_audio, write_wav
+from tpuvae.io import native_loader
+from tpuvae.io.wav import read_wav, resample_poly, to_mono
+
+pytestmark = pytest.mark.skipif(
+    not native_loader.native_available(),
+    reason="native loader not built (no g++?)",
+)
+
+
+@pytest.fixture()
+def wav_44k(tmp_path):
+    rng = np.random.default_rng(0)
+    sr = 44100
+    t = np.arange(sr * 2) / sr
+    y = (0.5 * np.sin(2 * np.pi * 440 * t)
+         + 0.05 * rng.standard_normal(len(t))).astype(np.float32)
+    p = tmp_path / "t.wav"
+    write_wav(p, y, sr)
+    return p, y, sr
+
+
+def test_native_matches_python_resample(wav_44k):
+    p, y, sr_in = wav_44k
+    nat = native_loader.load_audio_native(p, 22050, 1.0)
+    x, sr = read_wav(p)
+    py = resample_poly(to_mono(x)[:sr_in], sr_in, 22050)[:22050]
+    np.testing.assert_allclose(nat, py, atol=1e-5)
+
+
+def test_native_pads_short_clips(wav_44k):
+    p, _, _ = wav_44k
+    out = native_loader.load_audio_native(p, 22050, 5.0)  # file is 2 s
+    assert out.shape == (5 * 22050,)
+    assert (out[-22050:] == 0).all()
+
+
+def test_batch_decode_with_failures(tmp_path, wav_44k):
+    p, _, _ = wav_44k
+    out, status = native_loader.load_audio_batch_native(
+        [p, tmp_path / "missing.wav", p], 22050, 1.0
+    )
+    assert status.tolist() == [0, 1, 0]
+    assert (out[1] == 0).all()
+    np.testing.assert_array_equal(out[0], out[2])
+
+
+def test_load_audio_prefers_native(wav_44k, monkeypatch):
+    p, _, _ = wav_44k
+    a = load_audio(p, 22050, 1.0, prefer_native=True)
+    b = load_audio(p, 22050, 1.0, prefer_native=False)
+    np.testing.assert_allclose(a, b, atol=1e-5)
+    monkeypatch.setenv("TPUVAE_DISABLE_NATIVE", "1")
+    c = load_audio(p, 22050, 1.0, prefer_native=True)
+    np.testing.assert_array_equal(b, c)

@@ -1,0 +1,43 @@
+"""Pallas kernels vs the XLA reference implementations (interpret mode on CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from tpuvae.metrics.pairwise import self_distances, squared_distances
+from tpuvae.ops import self_distances_pallas, squared_distances_pallas
+
+
+def test_pairwise_kernel_matches_xla():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(100, 37)).astype(np.float32)   # non-multiple shapes
+    y = rng.normal(size=(77, 37)).astype(np.float32)
+    got = np.asarray(squared_distances_pallas(x, y, tile_n=64, tile_m=64))
+    want = np.asarray(squared_distances(jnp.asarray(x), jnp.asarray(y)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+
+def test_self_distances_kernel_zero_diag():
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(130, 8)).astype(np.float32)
+    got = np.asarray(self_distances_pallas(x, tile_n=64, tile_m=64))
+    want = np.asarray(self_distances(jnp.asarray(x)))
+    assert (np.diag(got) == 0).all()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_kernel_feeds_silhouette():
+    """The kernel's output is a drop-in distance matrix for the metrics."""
+    from sklearn.metrics import silhouette_score as sk_sil
+
+    from tpuvae.metrics import compact_labels, silhouette_from_distances
+
+    rng = np.random.default_rng(2)
+    x = np.concatenate([
+        rng.normal(-2, 0.5, (40, 5)), rng.normal(2, 0.5, (40, 5)),
+    ]).astype(np.float32)
+    labels = np.repeat([0, 1], 40)
+    lab, k = compact_labels(labels)
+    d = self_distances_pallas(x, tile_n=64, tile_m=64)
+    got = float(silhouette_from_distances(d, jnp.asarray(lab), k))
+    want = sk_sil(x, labels)
+    assert abs(got - want) < 1e-4

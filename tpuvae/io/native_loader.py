@@ -1,0 +1,92 @@
+"""ctypes bindings for the native C++ audio loader (native/wavload.cpp).
+
+Builds ``libwavload.so`` on first use (g++, see native/Makefile) and falls
+back to the pure-Python path in ``tpuvae.io.wav`` when the toolchain or the
+shared library is unavailable.  Batch decodes land directly in a contiguous
+(count, n_samples) float32 buffer ready for device upload.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
+_LIB_PATH = _NATIVE_DIR / "libwavload.so"
+_lib = None
+_build_failed = False
+
+
+def _get_lib():
+    global _lib, _build_failed
+    if _lib is not None or _build_failed:
+        return _lib
+    try:
+        if not _LIB_PATH.exists():
+            subprocess.run(
+                ["make", "-C", str(_NATIVE_DIR)],
+                check=True, capture_output=True, timeout=120,
+            )
+        lib = ctypes.CDLL(str(_LIB_PATH))
+        lib.tpuvae_load_audio.restype = ctypes.c_int
+        lib.tpuvae_load_audio.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_double,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ]
+        lib.tpuvae_load_audio_batch.restype = ctypes.c_int
+        lib.tpuvae_load_audio_batch.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_double,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        _lib = lib
+    except Exception:
+        _build_failed = True
+        _lib = None
+    return _lib
+
+
+def native_available() -> bool:
+    return _get_lib() is not None and os.environ.get(
+        "TPUVAE_DISABLE_NATIVE", "0"
+    ) != "1"
+
+
+def load_audio_native(path, sample_rate: int = 22050,
+                      duration: float = 30.0) -> np.ndarray:
+    """Native decode+resample; raises on failure (caller handles fallback)."""
+    lib = _get_lib()
+    if lib is None:
+        raise RuntimeError("native loader unavailable")
+    n = int(sample_rate * duration)
+    out = np.empty(n, dtype=np.float32)
+    rc = lib.tpuvae_load_audio(
+        str(path).encode(), sample_rate, float(duration),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n,
+    )
+    if rc != 0:
+        raise IOError(f"native WAV decode failed for {path}")
+    return out
+
+
+def load_audio_batch_native(paths, sample_rate: int = 22050,
+                            duration: float = 30.0):
+    """Batch decode → ((count, n) float32, per-file status array)."""
+    lib = _get_lib()
+    if lib is None:
+        raise RuntimeError("native loader unavailable")
+    n = int(sample_rate * duration)
+    count = len(paths)
+    out = np.empty((count, n), dtype=np.float32)
+    status = np.empty(count, dtype=np.int32)
+    blob = b"\0".join(str(p).encode() for p in paths) + b"\0"
+    lib.tpuvae_load_audio_batch(
+        blob, count, sample_rate, float(duration),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n,
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+    )
+    return out, status

@@ -49,12 +49,12 @@ def synth_clip(
     return (0.7 * y).astype(np.float32)
 
 
-def write_wav(path: Path, y: np.ndarray, sr: int) -> None:
+def write_wav(path: str | Path, y: np.ndarray, sr: int) -> None:
     pcm = np.clip(np.round(y * 32767.0), -32768, 32767).astype("<i2").tobytes()
     hdr = b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
     fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
     data = b"data" + struct.pack("<I", len(pcm))
-    path.write_bytes(hdr + fmt + data + pcm)
+    Path(path).write_bytes(hdr + fmt + data + pcm)
 
 
 def generate_dataset(

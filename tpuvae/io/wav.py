@@ -91,9 +91,22 @@ def load_audio(
     path: str | Path,
     sample_rate: int = 22050,
     duration: float | None = 30.0,
+    prefer_native: bool = True,
 ) -> np.ndarray:
     """librosa.load-compatible: mono float32 at ``sample_rate``; truncated to
-    ``duration`` and zero-padded when short (ref ``1_preprocessing.py:137-153``)."""
+    ``duration`` and zero-padded when short (ref ``1_preprocessing.py:137-153``).
+
+    Uses the C++ loader (native/wavload.cpp) when built; falls back to the
+    numpy/scipy path below.
+    """
+    if prefer_native and duration is not None:
+        from tpuvae.io import native_loader
+
+        if native_loader.native_available():
+            try:
+                return native_loader.load_audio_native(path, sample_rate, duration)
+            except Exception:
+                pass  # fall through to the Python path
     x, sr = read_wav(path)
     y = to_mono(x)
     if duration is not None:
