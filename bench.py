@@ -40,9 +40,9 @@ def main():
     backend = jax.default_backend()
     log(f"backend: {backend}, devices: {jax.devices()}")
 
-    batch = 32
+    batch = 128
     clips, _ = generate_memory_batch(
-        n_per_genre=batch // 4 + 1, genres=("rock", "classical", "pop", "folk"),
+        n_per_genre=batch // 4, genres=("rock", "classical", "pop", "folk"),
         duration=cfg.duration, seed=7,
     )
     clips = clips[:batch].astype(np.float32)

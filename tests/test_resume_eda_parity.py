@@ -1,0 +1,142 @@
+"""Resumable extraction, full training resume, EDA report, parity harness."""
+
+import numpy as np
+import pandas as pd
+import jax
+import jax.numpy as jnp
+
+from tpuvae.config import AdvancedPreprocessConfig, PreprocessConfig
+from tpuvae.io import generate_dataset
+from tpuvae.io.resume import ExtractionManifest
+from tpuvae.utils import RunLogger
+
+
+def test_extraction_manifest_roundtrip(tmp_path):
+    m = ExtractionManifest(tmp_path)
+    m.add_shard(["a", "b"], {"f": np.ones((2, 4))})
+    m.add_shard(["c"], {"f": np.zeros((1, 4))})
+    # a fresh manifest instance sees persisted state
+    m2 = ExtractionManifest(tmp_path)
+    assert m2.done_ids == {"a", "b", "c"}
+    ids, arrays = m2.load_all()
+    assert ids == ["a", "b", "c"]
+    assert arrays["f"].shape == (3, 4)
+    m2.cleanup()
+    assert not (tmp_path / "shards").exists()
+
+
+def test_preprocess_resumes_after_interrupt(tmp_path):
+    from tpuvae.pipelines import preprocess_basic
+
+    generate_dataset(tmp_path / "Datasets", clips_per_genre_lang=2,
+                     duration=1.0, seed=3)
+    cfg = PreprocessConfig(
+        duration=1.0, dataset_root=str(tmp_path / "Datasets"),
+        metadata_csv=str(tmp_path / "Datasets" / "updated_metadata.csv"),
+        output_dir=str(tmp_path / "out"), extract_batch=4,
+    )
+    logger = RunLogger(echo=False)
+    # simulate a prior partial run: pre-populate the manifest with a shard
+    # for the first 4 files by running once, keeping shards mid-way
+    from tpuvae.io import collect_audio_files
+
+    entries, _ = collect_audio_files(cfg.dataset_root, cfg.metadata_csv,
+                                     max_per_class=cfg.max_samples_per_class)
+    m = ExtractionManifest(cfg.output_dir)
+    from tpuvae.dsp import extract_basic_features, jit_extractor
+    from tpuvae.parallel import MeshContext
+    from tpuvae.pipelines import _extract_batched
+
+    mesh = MeshContext.create()
+    fn = jit_extractor(extract_basic_features, cfg)
+    _extract_batched(entries[:4], fn, cfg, mesh, manifest=m,
+                     shard_keys=("features",))
+    assert len(m.done_ids) == 4
+
+    # full run resumes: only the remaining 12 files get extracted
+    res = preprocess_basic(cfg, mesh=mesh, logger=logger, resume=True)
+    assert res["n"] == len(entries)
+    feats = np.load(tmp_path / "out" / "features_normalized.npy")
+    assert feats.shape == (len(entries), 370)
+    # shards were cleaned up after the successful save
+    assert not (tmp_path / "out" / "shards").exists()
+
+
+def test_train_state_checkpoint_resume(tmp_path):
+    from tpuvae.models import SimpleVAE
+    from tpuvae.train import (FitConfig, create_state, fit,
+                              simple_vae_objective)
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(64, 10)).astype(np.float32)
+    model = SimpleVAE(input_dim=10, hidden_dims=(8,), latent_dim=4)
+    key = jax.random.PRNGKey(0)
+
+    def build():
+        return create_state(model, key, (jnp.asarray(x[:2]), key), 1e-3,
+                            train=True)
+
+    obj = simple_vae_objective(beta=0.2)
+    # uninterrupted 6-epoch run
+    cfg_full = FitConfig(epochs=6, batch_size=32, patience=100, seed=0)
+    res_full = fit(build(), obj, (x,), cfg_full)
+
+    # interrupted run: 3 epochs with checkpointing, then resume to 6
+    ckdir = str(tmp_path / "ck")
+    cfg_a = FitConfig(epochs=3, batch_size=32, patience=100, seed=0,
+                      checkpoint_dir=ckdir, checkpoint_every=1)
+    fit(build(), obj, (x,), cfg_a)
+    cfg_b = FitConfig(epochs=6, batch_size=32, patience=100, seed=0,
+                      checkpoint_dir=ckdir, checkpoint_every=1, resume=True)
+    res_resumed = fit(build(), obj, (x,), cfg_b)
+
+    assert len(res_resumed.history["train_loss"]) == 6
+    np.testing.assert_allclose(
+        res_resumed.history["train_loss"][3:],
+        res_full.history["train_loss"][3:],
+        rtol=1e-4,
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(res_full.state.params),
+                    jax.tree_util.tree_leaves(res_resumed.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_eda_report(tmp_path):
+    from tpuvae.pipelines import preprocess_advanced
+    from tpuvae.viz.eda import run_eda
+
+    generate_dataset(tmp_path / "Datasets", clips_per_genre_lang=2,
+                     duration=1.0, seed=5)
+    cfg = AdvancedPreprocessConfig(
+        duration=1.0, fixed_time_steps=32,
+        dataset_root=str(tmp_path / "Datasets"),
+        metadata_csv=str(tmp_path / "Datasets" / "updated_metadata.csv"),
+        output_dir=str(tmp_path / "pd2"), extract_batch=4,
+    )
+    preprocess_advanced(cfg, logger=RunLogger(echo=False))
+    summary = run_eda(str(tmp_path / "pd2"), str(tmp_path / "eda"),
+                      tsne_perplexity=2.0)
+    for png in ("distributions.png", "sample_spectrograms.png",
+                "tsne_raw_features.png", "feature_correlation.png"):
+        assert (tmp_path / "eda" / png).exists(), png
+    assert (tmp_path / "eda" / "feature_summary.csv").exists()
+    assert summary["flat_shape"][1] == 290
+
+
+def test_parity_compare_tool(tmp_path):
+    from tpuvae.parity import compare_metrics_csv
+
+    df = pd.DataFrame({
+        "Architecture": ["A", "B"], "Method": ["m1", "m2"],
+        "Silhouette": [0.5, 0.6],
+    })
+    df.to_csv(tmp_path / "a.csv", index=False)
+    df2 = df.copy()
+    df2.loc[0, "Silhouette"] = 0.505   # within tol
+    df2.to_csv(tmp_path / "b.csv", index=False)
+    assert compare_metrics_csv(tmp_path / "a.csv", tmp_path / "b.csv") == []
+    df2.loc[1, "Silhouette"] = 0.7     # out of tol
+    df2.to_csv(tmp_path / "b.csv", index=False)
+    problems = compare_metrics_csv(tmp_path / "a.csv", tmp_path / "b.csv")
+    assert len(problems) == 1 and "Silhouette" in problems[0]

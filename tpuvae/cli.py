@@ -8,7 +8,11 @@ top to bottom" workflow (``README.md:56-87``) with subcommands:
   python -m tpuvae.cli train-cvae            [--key=value ...]
   python -m tpuvae.cli train-hybrid          [--key=value ...]
   python -m tpuvae.cli all                   # full end-to-end sweep
+  python -m tpuvae.cli eda                   # exploratory-analysis report
+  python -m tpuvae.cli parity                # run sweep twice, diff metrics
   python -m tpuvae.cli report                # print consolidated CSV
+
+Global flags: ``--debug-nans`` enables jax debug-NaN checking for the run.
 
 ``--key=value`` overrides map onto the stage's config dataclass; values are
 parsed as JSON first (so ``--epochs=5`` is an int).  Extra shared flags:
@@ -42,11 +46,17 @@ def _split_args(args, known: set[str]):
 
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
+    if "--debug-nans" in argv:
+        argv.remove("--debug-nans")
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
     if not argv or argv[0] in ("-h", "--help"):
         print(__doc__)
         return 0
     cmd, *rest = argv
-    shared = {"data_dir", "results_dir", "root", "clips_per_genre_lang", "seed_data"}
+    shared = {"data_dir", "results_dir", "root", "clips_per_genre_lang",
+              "seed_data", "out_dir", "tol", "fast"}
     cfg_args, extras = _split_args(rest, shared)
 
     if cmd == "synth-data":
@@ -99,6 +109,33 @@ def main(argv=None) -> int:
                                 if cmd != "all" else HybridVAEConfig())
             print(df.to_string(index=False))
         return 0
+
+    if cmd == "eda":
+        import json
+
+        from tpuvae.viz.eda import run_eda
+
+        summary = run_eda(
+            extras.get("data_dir", "processed_data2"),
+            extras.get("out_dir", "results/EDA"),
+        )
+        print(json.dumps(summary, indent=2))
+        return 0
+
+    if cmd == "parity":
+        from tpuvae.parity import run_parity
+
+        res = run_parity(
+            tol=float(extras.get("tol", 0.01)),
+            fast=extras.get("fast", "1") != "0",
+        )
+        if res["ok"]:
+            print("PARITY OK: metrics reproduce within tolerance")
+            return 0
+        print("PARITY FAILED:")
+        for p in res["problems"]:
+            print("  -", p)
+        return 1
 
     if cmd == "report":
         import pandas as pd

@@ -67,9 +67,18 @@ def spectral_bandwidth(
 def spectral_rolloff(
     s_mag: jnp.ndarray, freqs: jnp.ndarray, roll_percent: float = 0.85
 ) -> jnp.ndarray:
-    """Lowest frequency containing ``roll_percent`` of spectral energy → (B, T)."""
-    total = jnp.cumsum(s_mag, axis=1)
-    thresh = roll_percent * total[:, -1:, :]
+    """Lowest frequency containing ``roll_percent`` of spectral energy → (B, T).
+
+    The prefix sum over the frequency axis is evaluated as a lower-triangular
+    matmul on the MXU: XLA lowers ``cumsum`` over a 1025-long axis to a
+    quadratic reduce-window on TPU, which profiled as THE dominant fusion of
+    the whole extraction pipeline (~370 ms per 32-clip batch).
+    """
+    n_bins = s_mag.shape[1]
+    tril = jnp.asarray(np.tril(np.ones((n_bins, n_bins), np.float32)))
+    total = jnp.einsum("ij,bjt->bit", tril, s_mag,
+                       preferred_element_type=jnp.float32)
+    thresh = roll_percent * jnp.sum(s_mag, axis=1, keepdims=True)
     # lowest bin where cumulative energy crosses the threshold
     big = jnp.float32(np.finfo(np.float32).max)
     cand = jnp.where(total >= thresh, freqs[None, :, None], big)

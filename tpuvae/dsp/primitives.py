@@ -56,6 +56,18 @@ def frame_signal(
     half = frame_length // 2
     y_pad = jnp.pad(y, ((0, 0), (half, half)), mode=pad_mode)
     n = num_frames(t, hop_length)
+    if frame_length % hop_length == 0:
+        # gather-free framing: frame t = [block_t … block_{t+r-1}] where
+        # block_j = y_pad[j·hop : (j+1)·hop].  TPU gathers over millions of
+        # row indices dominated the whole extraction pipeline; these are
+        # pure slice/reshape/concat layout ops instead.
+        ratio = frame_length // hop_length
+        parts = [
+            jax.lax.dynamic_slice_in_dim(y_pad, k * hop_length, n * hop_length, 1)
+            .reshape(b, n, hop_length)
+            for k in range(ratio)
+        ]
+        return jnp.concatenate(parts, axis=-1)
     starts = jnp.arange(n) * hop_length
     idx = starts[:, None] + jnp.arange(frame_length)[None, :]
     return jnp.take(y_pad, idx, axis=1)

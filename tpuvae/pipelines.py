@@ -96,10 +96,17 @@ from tpuvae.viz import (
 # -----------------------------------------------------------------------------
 
 def _extract_batched(entries, extract_fn, cfg, mesh: MeshContext,
-                     logger: RunLogger | None = None):
+                     logger: RunLogger | None = None,
+                     manifest=None, shard_keys: tuple = ("out",)):
     """Load clips host-side in batches, extract on device, skip-and-tally
-    failures (ref per-file try/except, ``1_preprocessing.py:237-256``)."""
+    failures (ref per-file try/except, ``1_preprocessing.py:237-256``).
+
+    With a ``manifest`` (tpuvae.io.resume.ExtractionManifest), each flushed
+    batch is persisted as a shard so interrupted runs resume.
+    """
     bs = cfg.extract_batch
+    # sharded dim 0 must divide the mesh's data axis
+    bs_padded = -(-bs // mesh.n_devices) * mesh.n_devices
     ok_entries, outputs, failed = [], [], []
     buf, buf_entries = [], []
 
@@ -107,15 +114,20 @@ def _extract_batched(entries, extract_fn, cfg, mesh: MeshContext,
         if not buf:
             return
         batch = np.stack(buf)
-        pad = bs - len(buf)
+        pad = bs_padded - len(buf)
         if pad:
             batch = np.pad(batch, ((0, pad), (0, 0)))
         arr = jax.device_put(
             batch, batch_sharding(mesh.mesh, 2, mesh.axis)
         )
         out = extract_fn(arr)
-        out = jax.tree_util.tree_map(lambda o: np.asarray(o)[: len(buf)], out)
-        outputs.append(out)
+        out_list = out if isinstance(out, tuple) else (out,)
+        out_list = tuple(np.asarray(o)[: len(buf)] for o in out_list)
+        if manifest is not None:
+            manifest.add_shard(
+                [e.file_id for e in buf_entries], dict(zip(shard_keys, out_list))
+            )
+        outputs.append(out_list)
         ok_entries.extend(buf_entries)
         buf.clear()
         buf_entries.clear()
@@ -156,6 +168,7 @@ def preprocess_basic(
     cfg: PreprocessConfig = PreprocessConfig(),
     mesh: MeshContext | None = None,
     logger: RunLogger | None = None,
+    resume: bool = True,
 ) -> dict:
     mesh = mesh or MeshContext.create()
     logger = logger or RunLogger()
@@ -164,12 +177,31 @@ def preprocess_basic(
         cfg.dataset_root, cfg.metadata_csv,
         max_per_class=cfg.max_samples_per_class, strict=False,
     )
+    manifest = None
+    pending = entries
+    if resume:
+        from tpuvae.io.resume import ExtractionManifest
+
+        manifest = ExtractionManifest(cfg.output_dir)
+        pending = manifest.filter_pending(entries)
+        if len(pending) < len(entries):
+            logger.log("resume", already_done=len(entries) - len(pending))
     extract = jit_extractor(extract_basic_features, cfg)
-    with timer.stage("extract_basic", items=len(entries)):
-        ok, outs, failed = _extract_batched(entries, extract, cfg, mesh, logger)
+    with timer.stage("extract_basic", items=len(pending)):
+        ok, outs, failed = _extract_batched(
+            pending, extract, cfg, mesh, logger,
+            manifest=manifest, shard_keys=("features",),
+        )
+    if manifest is not None:
+        ids, arrays = manifest.load_all()
+        by_id = {e.file_id: e for e in entries}
+        ok = [by_id[i] for i in ids if i in by_id]
+        features = arrays.get("features", np.zeros((0, cfg.feature_dim)))
+    else:
+        features = (np.concatenate([o[0] for o in outs])
+                    if outs else np.zeros((0, cfg.feature_dim)))
     if not ok:
         raise ValueError("No audio files collected! Check paths and metadata.")
-    features = np.concatenate(outs)
     labels = np.array([e.genre for e in ok])
     with timer.stage("normalize"):
         normalized, imputer, scaler = impute_and_scale(features)
@@ -179,6 +211,8 @@ def preprocess_basic(
         metadata=_metadata_frame(ok, labels)[["language", "genre", "filename", "label"]],
         scaler=scaler, imputer=imputer, config=cfg,
     )
+    if manifest is not None:
+        manifest.cleanup()
     logger.log("saved", dir=cfg.output_dir, n=len(ok),
                feature_dim=int(features.shape[1]), failed=len(failed),
                skipped=skipped)
@@ -190,6 +224,7 @@ def preprocess_advanced(
     mesh: MeshContext | None = None,
     logger: RunLogger | None = None,
     text_checkpoint: str | None = None,
+    resume: bool = True,
 ) -> dict:
     mesh = mesh or MeshContext.create()
     logger = logger or RunLogger()
@@ -201,11 +236,29 @@ def preprocess_advanced(
     )
     if not entries:
         raise ValueError("No audio files collected! Check paths and metadata.")
+    manifest = None
+    pending = entries
+    if resume:
+        from tpuvae.io.resume import ExtractionManifest
+
+        manifest = ExtractionManifest(cfg.output_dir)
+        pending = manifest.filter_pending(entries)
+        if len(pending) < len(entries):
+            logger.log("resume", already_done=len(entries) - len(pending))
     extract = jit_extractor(extract_advanced, cfg)
-    with timer.stage("extract_advanced", items=len(entries)):
-        ok, outs, failed = _extract_batched(entries, extract, cfg, mesh, logger)
-    mels = np.concatenate([o[0] for o in outs])
-    flats = np.concatenate([o[1] for o in outs])
+    with timer.stage("extract_advanced", items=len(pending)):
+        ok, outs, failed = _extract_batched(
+            pending, extract, cfg, mesh, logger,
+            manifest=manifest, shard_keys=("mel", "flat"),
+        )
+    if manifest is not None:
+        ids, arrays = manifest.load_all()
+        by_id = {e.file_id: e for e in entries}
+        ok = [by_id[i] for i in ids if i in by_id]
+        mels, flats = arrays["mel"], arrays["flat"]
+    else:
+        mels = np.concatenate([o[0] for o in outs])
+        flats = np.concatenate([o[1] for o in outs])
     labels = np.array([e.genre for e in ok])
     with timer.stage("lyrics_embeddings", items=len(ok)):
         embeddings = create_lyrics_embeddings(
@@ -224,6 +277,8 @@ def preprocess_advanced(
         mel_scaler=mel_scaler, flat_scaler=flat_scaler, imputer=imputer,
         config=cfg,
     )
+    if manifest is not None:
+        manifest.cleanup()
     logger.log("saved", dir=cfg.output_dir, n=len(ok), failed=len(failed),
                skipped=skipped)
     return {"n": len(ok), "failed": failed, "stages": timer.stages}

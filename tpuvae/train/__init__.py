@@ -13,4 +13,9 @@ from tpuvae.train.objectives import (  # noqa: F401
     hybrid_objective,
     autoencoder_objective,
 )
-from tpuvae.train.checkpoint import save_checkpoint, load_checkpoint  # noqa: F401
+from tpuvae.train.checkpoint import (  # noqa: F401
+    save_checkpoint,
+    load_checkpoint,
+    save_train_state,
+    restore_train_state,
+)

@@ -35,6 +35,49 @@ def save_checkpoint(path: str | Path, params, batch_stats=None,
     (path / "metadata.json").write_text(json.dumps(metadata or {}, default=str))
 
 
+def save_train_state(path: str | Path, state,
+                     metadata: dict[str, Any] | None = None) -> None:
+    """Full training checkpoint: params + batch_stats + optimizer state +
+    step, restorable for exact training resume."""
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    tree = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "step": state.step,
+    }
+    # msgpack keeps namedtuple/empty-collection structure (npz flattening
+    # drops empty subtrees like optax's hyperparams_states)
+    (path / "train_state.msgpack").write_bytes(serialization.to_bytes(tree))
+    (path / "metadata.json").write_text(json.dumps(metadata or {}, default=str))
+
+
+def restore_train_state(path: str | Path, state):
+    """Restore a full training checkpoint onto a freshly-built ``state``
+    (same model/optimizer).  Returns (state, metadata)."""
+    path = Path(path)
+    template = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "step": state.step,
+    }
+    restored = serialization.from_bytes(
+        template, (path / "train_state.msgpack").read_bytes()
+    )
+    metadata = json.loads((path / "metadata.json").read_text())
+    return (
+        state.replace(
+            params=restored["params"],
+            batch_stats=restored["batch_stats"],
+            opt_state=restored["opt_state"],
+            step=restored["step"],
+        ),
+        metadata,
+    )
+
+
 def load_checkpoint(path: str | Path, like_params=None, like_batch_stats=None):
     """Load a checkpoint; if ``like_*`` templates are given, restores pytree
     structure/dtypes against them."""

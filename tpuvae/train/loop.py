@@ -44,6 +44,9 @@ class FitConfig:
     loss_normalizer: str = "per_batch"    # 'per_batch' | 'per_dataset'
     seed: int = 42
     log_every: int = 10
+    checkpoint_dir: str | None = None     # periodic full-state checkpoints
+    checkpoint_every: int = 50
+    resume: bool = True                   # continue from checkpoint_dir if present
 
 
 @dataclasses.dataclass
@@ -165,8 +168,28 @@ def fit(
     t0 = time.time()
     total_steps = 0
     epoch = -1
+    start_epoch = 0
 
-    for epoch in range(cfg.epochs):
+    if cfg.checkpoint_dir and cfg.resume:
+        from pathlib import Path
+
+        from tpuvae.train.checkpoint import restore_train_state
+
+        ck = Path(cfg.checkpoint_dir) / "latest"
+        if (ck / "train_state.msgpack").exists():
+            state, meta = restore_train_state(ck, state)
+            start_epoch = int(meta["epoch"]) + 1
+            best = float(meta["best"])
+            best_epoch = int(meta["best_epoch"])
+            patience_counter = int(meta["patience_counter"])
+            plateau_best = float(meta["plateau_best"])
+            plateau_counter = int(meta["plateau_counter"])
+            lr = float(meta["lr"])
+            history = meta["history"]
+            if logger is not None:
+                logger.log("resume_training", from_epoch=start_epoch)
+
+    for epoch in range(start_epoch, cfg.epochs):
         ep_rng = jax.random.fold_in(rng, epoch)
         perm = jax.random.permutation(jax.random.fold_in(ep_rng, 0), n)
         state, loss_sum, _ = epoch_scan(state, perm, jax.random.fold_in(ep_rng, 1), *train_data)
@@ -220,6 +243,20 @@ def fit(
                 train_loss=train_loss,
                 val_loss=history["val_loss"][-1] if val_data is not None else None,
                 lr=lr,
+            )
+
+        if cfg.checkpoint_dir and (epoch + 1) % cfg.checkpoint_every == 0:
+            from pathlib import Path
+
+            from tpuvae.train.checkpoint import save_train_state
+
+            save_train_state(
+                Path(cfg.checkpoint_dir) / "latest", state,
+                {"epoch": epoch, "best": best, "best_epoch": best_epoch,
+                 "patience_counter": patience_counter,
+                 "plateau_best": plateau_best,
+                 "plateau_counter": plateau_counter, "lr": lr,
+                 "history": history},
             )
 
         if patience_counter >= cfg.patience:
