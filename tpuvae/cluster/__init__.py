@@ -12,3 +12,7 @@ from tpuvae.cluster.sweeps import (  # noqa: F401
     agglomerative_k_sweep,
     dbscan_eps_sweep,
 )
+from tpuvae.cluster.spectral import (  # noqa: F401
+    spectral_clustering,
+    spectral_embedding,
+)

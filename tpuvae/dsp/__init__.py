@@ -30,3 +30,7 @@ from tpuvae.dsp.chroma import (  # noqa: F401
     estimate_tuning_from_power,
     piptrack_from_power,
 )
+from tpuvae.dsp.long import (  # noqa: F401
+    stft_power_framesharded,
+    mel_image_framesharded,
+)
