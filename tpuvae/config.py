@@ -155,6 +155,7 @@ class ConditionalVAEConfig(_ConfigBase):
     latent_dim: int = 64
     text_dim: int = 768
     num_classes: int = 10
+    compute_dtype: str = "float32"   # 'bfloat16' for MXU-speed training
     learning_rate: float = 1e-4
     batch_size: int = 32
     epochs: int = 600
@@ -171,6 +172,7 @@ class HybridVAEConfig(_ConfigBase):
 
     latent_dim: int = 128
     text_dim: int = 768
+    compute_dtype: str = "float32"   # 'bfloat16' for MXU-speed training
     learning_rate: float = 1e-4
     batch_size: int = 32
     epochs: int = 500

@@ -8,6 +8,8 @@ transposed-conv audio decoder and a 256→512→768 text decoder.
 
 from __future__ import annotations
 
+from typing import Any
+
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -19,23 +21,25 @@ class ConditionalVAE(nn.Module):
     text_dim: int = 768
     num_classes: int = 10
     input_hw: tuple = (128, 1024)   # mel image dims; must divide 64
+    dtype: Any = jnp.float32        # compute dtype (bfloat16 for MXU speed)
 
     @property
     def _audio_flat(self) -> int:
         return 512 * (self.input_hw[0] // 64) * (self.input_hw[1] // 64)
 
     def setup(self):
-        self.audio_encoder = ConvEncoderTrunk()
-        self.text_fc = nn.Dense(256)
-        self.text_bn = nn.BatchNorm()
-        self.fc_mu = nn.Dense(self.latent_dim)
-        self.fc_logvar = nn.Dense(self.latent_dim)
-        self.decoder_fc = nn.Dense(self._audio_flat + 256)
+        self.audio_encoder = ConvEncoderTrunk(dtype=self.dtype)
+        self.text_fc = nn.Dense(dtype=self.dtype, features=256)
+        self.text_bn = nn.BatchNorm(dtype=self.dtype)
+        self.fc_mu = nn.Dense(dtype=self.dtype, features=self.latent_dim)
+        self.fc_logvar = nn.Dense(dtype=self.dtype, features=self.latent_dim)
+        self.decoder_fc = nn.Dense(dtype=self.dtype, features=self._audio_flat + 256)
         self.audio_decoder = ConvDecoderTrunk(
-            feature_hw=(self.input_hw[0] // 64, self.input_hw[1] // 64))
-        self.text_dec_fc1 = nn.Dense(512)
-        self.text_dec_bn = nn.BatchNorm()
-        self.text_dec_fc2 = nn.Dense(self.text_dim)
+            feature_hw=(self.input_hw[0] // 64, self.input_hw[1] // 64),
+            dtype=self.dtype)
+        self.text_dec_fc1 = nn.Dense(dtype=self.dtype, features=512)
+        self.text_dec_bn = nn.BatchNorm(dtype=self.dtype)
+        self.text_dec_fc2 = nn.Dense(dtype=self.dtype, features=self.text_dim)
 
     def encode(self, audio, text, condition, *, train: bool = False):
         """audio (B,128,1024,1) NHWC, text (B,768), condition (B,num_classes)."""
@@ -76,8 +80,13 @@ def cvae_loss(
     """sum-MSE(audio) + 200·sum-MSE(text) + β·sum-KL
     (ref ``cvae_loss_function``, ``Conditional_VAE.py:233-246``; the 200×
     balances ~130k audio dims against 768 text dims)."""
-    mse_audio = jnp.sum((recon_audio - audio) ** 2)
-    mse_text = jnp.sum((recon_text - text) ** 2)
+    # sums over ~131k dims: always accumulate in float32 (bf16 compute mode)
+    recon_audio = recon_audio.astype(jnp.float32)
+    recon_text = recon_text.astype(jnp.float32)
+    mu = mu.astype(jnp.float32)
+    logvar = logvar.astype(jnp.float32)
+    mse_audio = jnp.sum((recon_audio - audio.astype(jnp.float32)) ** 2)
+    mse_text = jnp.sum((recon_text - text.astype(jnp.float32)) ** 2)
     kl = -0.5 * jnp.sum(1 + logvar - mu**2 - jnp.exp(logvar))
     total = mse_audio + text_weight * mse_text + beta * kl
     return total, mse_audio, mse_text, kl

@@ -9,6 +9,8 @@ text 128→256(+BN+LeakyReLU)→768.  The two 16384×1024 Linears dominate the
 
 from __future__ import annotations
 
+from typing import Any
+
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -19,29 +21,31 @@ class HybridVAE(nn.Module):
     latent_dim: int = 128
     text_dim: int = 768
     input_hw: tuple = (128, 1024)   # mel image dims; must divide 64
+    dtype: Any = jnp.float32        # compute dtype (bfloat16 for MXU speed)
 
     @property
     def _audio_flat(self) -> int:
         return 512 * (self.input_hw[0] // 64) * (self.input_hw[1] // 64)
 
     def setup(self):
-        self.audio_encoder = ConvEncoderTrunk()
-        self.audio_fc = nn.Dense(1024)
-        self.text_fc1 = nn.Dense(256)
-        self.text_bn1 = nn.BatchNorm()
-        self.text_fc2 = nn.Dense(128)
-        self.text_bn2 = nn.BatchNorm()
-        self.fc_fusion = nn.Dense(512)
-        self.fc_mu = nn.Dense(self.latent_dim)
-        self.fc_logvar = nn.Dense(self.latent_dim)
-        self.decoder_input = nn.Dense(512)
-        self.decoder_split = nn.Dense(1024 + 128)
-        self.audio_decoder_fc = nn.Dense(self._audio_flat)
+        self.audio_encoder = ConvEncoderTrunk(dtype=self.dtype)
+        self.audio_fc = nn.Dense(dtype=self.dtype, features=1024)
+        self.text_fc1 = nn.Dense(dtype=self.dtype, features=256)
+        self.text_bn1 = nn.BatchNorm(dtype=self.dtype)
+        self.text_fc2 = nn.Dense(dtype=self.dtype, features=128)
+        self.text_bn2 = nn.BatchNorm(dtype=self.dtype)
+        self.fc_fusion = nn.Dense(dtype=self.dtype, features=512)
+        self.fc_mu = nn.Dense(dtype=self.dtype, features=self.latent_dim)
+        self.fc_logvar = nn.Dense(dtype=self.dtype, features=self.latent_dim)
+        self.decoder_input = nn.Dense(dtype=self.dtype, features=512)
+        self.decoder_split = nn.Dense(dtype=self.dtype, features=1024 + 128)
+        self.audio_decoder_fc = nn.Dense(dtype=self.dtype, features=self._audio_flat)
         self.audio_decoder = ConvDecoderTrunk(
-            feature_hw=(self.input_hw[0] // 64, self.input_hw[1] // 64))
-        self.text_dec_fc1 = nn.Dense(256)
-        self.text_dec_bn = nn.BatchNorm()
-        self.text_dec_fc2 = nn.Dense(self.text_dim)
+            feature_hw=(self.input_hw[0] // 64, self.input_hw[1] // 64),
+            dtype=self.dtype)
+        self.text_dec_fc1 = nn.Dense(dtype=self.dtype, features=256)
+        self.text_dec_bn = nn.BatchNorm(dtype=self.dtype)
+        self.text_dec_fc2 = nn.Dense(dtype=self.dtype, features=self.text_dim)
 
     def encode(self, audio, text, *, train: bool = False):
         a = self.audio_fc(self.audio_encoder(audio, train=train))
@@ -87,8 +91,13 @@ def hybrid_loss(
     (ref ``loss_function``, ``Convolutional_VAE.py:187-194``; ``alpha`` is
     accepted-but-unused there, preserved here for API parity)."""
     del alpha
-    mse_audio = jnp.sum((recon_audio - audio) ** 2)
-    mse_text = jnp.sum((recon_text - text) ** 2)
+    # sums over ~131k dims: always accumulate in float32 (bf16 compute mode)
+    recon_audio = recon_audio.astype(jnp.float32)
+    recon_text = recon_text.astype(jnp.float32)
+    mu = mu.astype(jnp.float32)
+    logvar = logvar.astype(jnp.float32)
+    mse_audio = jnp.sum((recon_audio - audio.astype(jnp.float32)) ** 2)
+    mse_text = jnp.sum((recon_text - text.astype(jnp.float32)) ** 2)
     kl = -0.5 * jnp.sum(1 + logvar - mu**2 - jnp.exp(logvar))
     total = mse_audio + text_weight * mse_text + beta * kl
     return total, mse_audio, mse_text, kl

@@ -10,7 +10,7 @@ TPU-first choices vs the reference's torch modules:
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -29,12 +29,13 @@ class MLPBlock(nn.Module):
 
     hidden_dims: Sequence[int]
     dropout: float = 0.2
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, train: bool):
         for h in self.hidden_dims:
-            x = nn.Dense(h)(x)
-            x = nn.BatchNorm(use_running_average=not train)(x)
+            x = nn.Dense(h, dtype=self.dtype)(x)
+            x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
             x = nn.relu(x)
             x = nn.Dropout(self.dropout, deterministic=not train)(x)
         return x
@@ -49,12 +50,15 @@ class ConvEncoderTrunk(nn.Module):
     """
 
     features: Sequence[int] = (32, 64, 128, 256, 512, 512)
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, train: bool):
+        x = x.astype(self.dtype)
         for f in self.features:
-            x = nn.Conv(f, (3, 3), strides=(2, 2), padding="SAME")(x)
-            x = nn.BatchNorm(use_running_average=not train)(x)
+            x = nn.Conv(f, (3, 3), strides=(2, 2), padding="SAME",
+                        dtype=self.dtype)(x)
+            x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
             x = nn.leaky_relu(x, 0.01)
         return x.reshape((x.shape[0], -1))  # (B, 2*16*512) = (B, 16384)
 
@@ -70,13 +74,16 @@ class ConvDecoderTrunk(nn.Module):
 
     features: Sequence[int] = (512, 256, 128, 64, 32)
     feature_hw: tuple = (2, 16)
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, train: bool):
         fh, fw = self.feature_hw
-        x = x.reshape((x.shape[0], fh, fw, 512))
+        x = x.astype(self.dtype).reshape((x.shape[0], fh, fw, 512))
         for f in self.features:
-            x = nn.ConvTranspose(f, (3, 3), strides=(2, 2), padding="SAME")(x)
-            x = nn.BatchNorm(use_running_average=not train)(x)
+            x = nn.ConvTranspose(f, (3, 3), strides=(2, 2), padding="SAME",
+                                 dtype=self.dtype)(x)
+            x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
             x = nn.leaky_relu(x, 0.01)
-        return nn.ConvTranspose(1, (3, 3), strides=(2, 2), padding="SAME")(x)
+        return nn.ConvTranspose(1, (3, 3), strides=(2, 2), padding="SAME",
+                                dtype=self.dtype)(x)

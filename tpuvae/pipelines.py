@@ -426,7 +426,8 @@ def run_conditional_vae(
 
     model = ConditionalVAE(latent_dim=cfg.latent_dim, text_dim=text.shape[1],
                            num_classes=n_classes,
-                           input_hw=(mel.shape[1], mel.shape[2]))
+                           input_hw=(mel.shape[1], mel.shape[2]),
+                           dtype=jnp.dtype(cfg.compute_dtype))
     key = jax.random.PRNGKey(cfg.seed)
     state = create_state(
         model, key,
@@ -532,7 +533,8 @@ def run_hybrid_vae(
     n_classes = len(genre_names)
 
     model = HybridVAE(latent_dim=cfg.latent_dim, text_dim=text.shape[1],
-                      input_hw=(mel.shape[1], mel.shape[2]))
+                      input_hw=(mel.shape[1], mel.shape[2]),
+                      dtype=jnp.dtype(cfg.compute_dtype))
     key = jax.random.PRNGKey(cfg.seed)
     state = create_state(model, key,
                          (jnp.asarray(mel[:1]), jnp.asarray(text[:1]), key),
