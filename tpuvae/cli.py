@@ -51,9 +51,27 @@ def main(argv=None) -> int:
         import jax
 
         jax.config.update("jax_debug_nans", True)
+    if "--profile" in argv:
+        argv.remove("--profile")
+        import os
+
+        os.environ["TPUVAE_PROFILE_DIR"] = os.environ.get(
+            "TPUVAE_PROFILE_DIR", "profiles"
+        )
     if not argv or argv[0] in ("-h", "--help"):
         print(__doc__)
         return 0
+    try:
+        return _dispatch(argv)
+    except KeyError as e:
+        print(f"error: {e.args[0]}", file=sys.stderr)
+        return 2
+    except FileNotFoundError as e:
+        print(f"error: missing input: {e}", file=sys.stderr)
+        return 2
+
+
+def _dispatch(argv) -> int:
     cmd, *rest = argv
     shared = {"data_dir", "results_dir", "root", "clips_per_genre_lang",
               "seed_data", "out_dir", "tol", "fast"}

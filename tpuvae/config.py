@@ -83,7 +83,7 @@ class PreprocessConfig(_ConfigBase):
     n_chroma: int = 12
     max_samples_per_class: int = 160
     dataset_root: str = "Datasets"
-    metadata_csv: str = "updated_metadata.csv"
+    metadata_csv: str = "Datasets/updated_metadata.csv"
     output_dir: str = "processed_data1"
     extract_batch: int = 32  # clips per device batch during extraction
 
@@ -113,7 +113,7 @@ class AdvancedPreprocessConfig(_ConfigBase):
     min_lyrics_chars: int = 15       # ref :246-249
     exclude_genres: tuple = ("jazz",)  # ref :227-229
     dataset_root: str = "Datasets"
-    metadata_csv: str = "updated_metadata.csv"
+    metadata_csv: str = "Datasets/updated_metadata.csv"
     output_dir: str = "processed_data2"
     text_model: str = "sentence-transformers/paraphrase-multilingual-mpnet-base-v2"
     text_dim: int = 768

@@ -16,6 +16,7 @@ the mesh's data axis.  Artifact and CSV contracts match the reference's.
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -172,7 +173,7 @@ def preprocess_basic(
 ) -> dict:
     mesh = mesh or MeshContext.create()
     logger = logger or RunLogger()
-    timer = StageTimer(logger)
+    timer = StageTimer(logger, profile_dir=os.environ.get("TPUVAE_PROFILE_DIR"))
     entries, skipped = collect_audio_files(
         cfg.dataset_root, cfg.metadata_csv,
         max_per_class=cfg.max_samples_per_class, strict=False,
@@ -228,7 +229,7 @@ def preprocess_advanced(
 ) -> dict:
     mesh = mesh or MeshContext.create()
     logger = logger or RunLogger()
-    timer = StageTimer(logger)
+    timer = StageTimer(logger, profile_dir=os.environ.get("TPUVAE_PROFILE_DIR"))
     entries, skipped = collect_audio_files(
         cfg.dataset_root, cfg.metadata_csv,
         max_per_class=cfg.max_samples_per_class, strict=True,
