@@ -122,3 +122,28 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_sharded_silhouette_matches_single_device():
+    from sklearn.metrics import silhouette_score as sk_sil
+
+    from tpuvae.metrics import compact_labels, silhouette_sharded
+
+    rng = np.random.default_rng(5)
+    x = np.concatenate([
+        rng.normal(-2, 0.6, (45, 6)), rng.normal(2, 0.6, (50, 6)),
+        rng.normal((0, 5, 0, 0, 0, 0), 0.6, (32, 6)),
+    ]).astype(np.float32)                      # 127 rows: not mesh-divisible
+    labels = np.concatenate([np.zeros(45), np.ones(50), np.full(32, 2)])
+    lab, k = compact_labels(labels)
+    mesh = make_mesh((-1,), ("data",))
+    got = silhouette_sharded(x, lab, k, mesh)
+    want = sk_sil(x, labels)
+    assert abs(got - want) < 1e-4, (got, want)
+    # singleton-cluster edge case
+    labels2 = labels.copy()
+    labels2[0] = 3
+    lab2, k2 = compact_labels(labels2)
+    got2 = silhouette_sharded(x, lab2, k2, mesh)
+    want2 = sk_sil(x, labels2)
+    assert abs(got2 - want2) < 1e-4

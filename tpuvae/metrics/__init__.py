@@ -16,3 +16,4 @@ from tpuvae.metrics.external import (  # noqa: F401
     normalized_mutual_info,
 )
 from tpuvae.metrics.labels import compact_labels, encode_labels, one_hot_np  # noqa: F401
+from tpuvae.metrics.distributed import silhouette_sharded  # noqa: F401
