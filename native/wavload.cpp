@@ -44,13 +44,23 @@ bool read_wav(const char* path, WavData* out) {
   uint32_t csize;
   while (std::fread(cid, 1, 4, f) == 4 && std::fread(&csize, 4, 1, f) == 1) {
     if (!std::memcmp(cid, "fmt ", 4)) {
-      uint8_t buf[16];
-      if (csize < 16 || std::fread(buf, 1, 16, f) != 16) break;
+      uint8_t buf[40];
+      const uint32_t take = csize < sizeof(buf) ? csize : sizeof(buf);
+      if (csize < 16 || std::fread(buf, 1, take, f) != take) break;
       std::memcpy(&fmt_code, buf + 0, 2);
       std::memcpy(&channels, buf + 2, 2);
       std::memcpy(&sr, buf + 4, 4);
       std::memcpy(&bits, buf + 14, 2);
-      if (csize > 16) std::fseek(f, csize - 16, SEEK_CUR);
+      if (fmt_code == 0xFFFE) {
+        // WAVE_FORMAT_EXTENSIBLE: real code = first 2 bytes of SubFormat GUID
+        if (take >= 26) {
+          std::memcpy(&fmt_code, buf + 24, 2);
+        } else {
+          std::fclose(f);
+          return false;
+        }
+      }
+      if (csize > take) std::fseek(f, csize - take, SEEK_CUR);
       have_fmt = true;
     } else if (!std::memcmp(cid, "data", 4)) {
       data.resize(csize);
@@ -62,7 +72,6 @@ bool read_wav(const char* path, WavData* out) {
   }
   std::fclose(f);
   if (!have_fmt || !have_data || channels == 0) return false;
-  if (fmt_code == 0xFFFE) fmt_code = (bits == 32) ? 3 : 1;
 
   size_t n = 0;
   std::vector<float> s;

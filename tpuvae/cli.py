@@ -36,9 +36,9 @@ from tpuvae.config import (
 def _split_args(args, known: set[str]):
     cfg_args, extras = [], {}
     for a in args:
-        key = a.lstrip("-").split("=", 1)[0]
+        key, sep, value = a.lstrip("-").partition("=")
         if key in known:
-            extras[key] = a.split("=", 1)[1]
+            extras[key] = value if sep else "1"   # bare flag => truthy
         else:
             cfg_args.append(a)
     return cfg_args, extras
@@ -69,12 +69,15 @@ def main(argv=None) -> int:
     except FileNotFoundError as e:
         print(f"error: missing input: {e}", file=sys.stderr)
         return 2
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
 
 
 def _dispatch(argv) -> int:
     cmd, *rest = argv
-    shared = {"data_dir", "results_dir", "root", "clips_per_genre_lang",
-              "seed_data", "out_dir", "tol", "fast"}
+    shared = {"data_dir", "data1_dir", "data2_dir", "results_dir", "root",
+              "clips_per_genre_lang", "seed_data", "out_dir", "tol", "fast"}
     cfg_args, extras = _split_args(rest, shared)
 
     if cmd == "synth-data":
@@ -102,8 +105,15 @@ def _dispatch(argv) -> int:
         return 0
 
     if cmd in ("train-simple", "train-cvae", "train-hybrid", "all"):
-        data1 = extras.get("data_dir", "processed_data1")
-        data2 = extras.get("data_dir", "processed_data2")
+        # --data_dir applies to the single pipeline being trained;
+        # use --data1_dir/--data2_dir to direct them separately (e.g. 'all')
+        data1 = extras.get("data1_dir") or extras.get("data_dir", "processed_data1")
+        data2 = extras.get("data2_dir") or (
+            extras.get("data_dir", "processed_data2")
+            if cmd != "all" else "processed_data2"
+        )
+        if cmd == "all" and "data_dir" in extras and "data1_dir" not in extras:
+            data1 = "processed_data1"   # never alias both to one dir in 'all'
         results = extras.get("results_dir", "results")
         if cmd in ("train-simple", "all"):
             from tpuvae.pipelines import run_simple_vae

@@ -9,6 +9,10 @@ each one a VPU-friendly dense op), then border-point attachment.
 Label semantics match sklearn: noise = −1; clusters numbered by the smallest
 core-point index they contain (sklearn scans points in order, so the first
 core point of a component — its minimum index — creates the cluster).
+One documented divergence: a BORDER point within eps of cores from two
+different clusters attaches to the smaller-labeled component here, while
+sklearn attaches it to whichever cluster's BFS expansion reaches it first —
+compare label assignments via ARI, not element-wise, on such ties.
 """
 
 from __future__ import annotations

@@ -74,9 +74,15 @@ def _lloyd(x, centers, k: int, max_iter: int, tol: float):
         counts = jnp.sum(onehot, axis=0)
         sums = onehot.T @ x
         new = sums / jnp.maximum(counts, 1.0)[:, None]
-        # re-seed empty clusters at the currently-worst-fit point
-        far = jnp.argmax(min_d2)
-        new = jnp.where((counts > 0)[:, None], new, x[far][None, :])
+        # re-seed each empty cluster at a DISTINCT worst-fit point (sklearn
+        # relocates per empty cluster; a single shared point would leave
+        # duplicate centers when several clusters empty simultaneously).
+        # With k > n points, distinctness is impossible; wrap around.
+        n_top = min(k, n)
+        _, far_idx = jax.lax.top_k(min_d2, n_top)       # farthest points
+        empty_rank = jnp.cumsum((counts == 0).astype(jnp.int32)) - 1
+        reseed = x[far_idx[jnp.clip(empty_rank, 0, n_top - 1) % n_top]]
+        new = jnp.where((counts > 0)[:, None], new, reseed)
         return new
 
     def cond(state):

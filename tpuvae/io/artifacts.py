@@ -83,13 +83,10 @@ def load_basic(data_dir) -> dict:
 
 def load_advanced(data_dir) -> dict:
     d = Path(data_dir)
-    out = {
+    return {
         "mel": np.load(d / "mel_spectrograms_normalized.npy"),
         "text": np.load(d / "lyrics_embeddings.npy"),
         "handcrafted": np.load(d / "features_normalized.npy"),
         "labels": np.load(d / "labels.npy", allow_pickle=True),
         "metadata": pd.read_csv(d / "metadata.csv"),
     }
-    if not (d / "mel_spectrograms_normalized.npy").exists():
-        raise FileNotFoundError(d)
-    return out

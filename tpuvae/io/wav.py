@@ -23,6 +23,7 @@ def read_wav(path: str | Path) -> tuple[np.ndarray, int]:
         raise ValueError(f"{path}: not a RIFF/WAVE file")
     pos = 12
     fmt = None
+    fmt_body = None
     raw = None
     while pos + 8 <= len(data):
         chunk_id = data[pos : pos + 4]
@@ -30,14 +31,19 @@ def read_wav(path: str | Path) -> tuple[np.ndarray, int]:
         body = data[pos + 8 : pos + 8 + size]
         if chunk_id == b"fmt ":
             fmt = struct.unpack("<HHIIHH", body[:16])
+            fmt_body = body
         elif chunk_id == b"data":
             raw = body
         pos += 8 + size + (size & 1)
     if fmt is None or raw is None:
         raise ValueError(f"{path}: missing fmt/data chunk")
     audio_format, channels, sr, _, _, bits = fmt
-    if audio_format == 0xFFFE and len(data) > 0:  # WAVE_FORMAT_EXTENSIBLE
-        audio_format = 1 if bits != 32 else 3
+    if audio_format == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: real code is the
+        # first 2 bytes of the SubFormat GUID at offset 24 of the fmt body
+        if fmt_body is not None and len(fmt_body) >= 26:
+            audio_format = struct.unpack("<H", fmt_body[24:26])[0]
+        else:
+            raise ValueError(f"{path}: extensible WAV without SubFormat GUID")
 
     if audio_format == 1:  # PCM
         if bits == 8:

@@ -196,8 +196,16 @@ def preprocess_basic(
     if manifest is not None:
         ids, arrays = manifest.load_all()
         by_id = {e.file_id: e for e in entries}
-        ok = [by_id[i] for i in ids if i in by_id]
+        unknown = [i for i in ids if i not in by_id]
+        if unknown:
+            raise ValueError(
+                f"extraction manifest contains {len(unknown)} file ids not in "
+                f"the current catalog (config/catalog changed between runs?); "
+                f"delete {manifest.dir} to start fresh"
+            )
+        ok = [by_id[i] for i in ids]
         features = arrays.get("features", np.zeros((0, cfg.feature_dim)))
+        assert len(ok) == len(features), (len(ok), len(features))
     else:
         features = (np.concatenate([o[0] for o in outs])
                     if outs else np.zeros((0, cfg.feature_dim)))
@@ -255,8 +263,16 @@ def preprocess_advanced(
     if manifest is not None:
         ids, arrays = manifest.load_all()
         by_id = {e.file_id: e for e in entries}
-        ok = [by_id[i] for i in ids if i in by_id]
+        unknown = [i for i in ids if i not in by_id]
+        if unknown:
+            raise ValueError(
+                f"extraction manifest contains {len(unknown)} file ids not in "
+                f"the current catalog (config/catalog changed between runs?); "
+                f"delete {manifest.dir} to start fresh"
+            )
+        ok = [by_id[i] for i in ids]
         mels, flats = arrays["mel"], arrays["flat"]
+        assert len(ok) == len(mels) == len(flats), (len(ok), len(mels))
     else:
         mels = np.concatenate([o[0] for o in outs])
         flats = np.concatenate([o[1] for o in outs])
@@ -562,8 +578,12 @@ def run_hybrid_vae(
         lambda a, t: model.apply(variables, a, t, method=HybridVAE.latent),
         (mel, text), cfg.batch_size,
     )
-    np.save(f"{results_dir}/Convolutional_VAE/hybrid_latent_features.npy"
-            if make_plots else "/tmp/hybrid_latent_features.npy", latents)
+    if make_plots:
+        from pathlib import Path
+
+        out = Path(results_dir) / "Convolutional_VAE"
+        out.mkdir(parents=True, exist_ok=True)
+        np.save(out / "hybrid_latent_features.npy", latents)
     logger.log("latents", shape=list(latents.shape))
 
     k_range = range(ccfg.hybrid_k_min, ccfg.hybrid_k_max + 1)

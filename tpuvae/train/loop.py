@@ -79,6 +79,8 @@ def fit(
     ``train_data``/``val_data`` are tuples of equal-length device arrays
     (already placed/sharded by the caller); batches index dim 0.
     """
+    if cfg.monitor == "val" and val_data is None:
+        raise ValueError("FitConfig.monitor='val' requires val_data")
     n = int(train_data[0].shape[0])
     steps, rem = _split_batches(n, cfg.batch_size)
     n_batches = steps + (1 if rem else 0)

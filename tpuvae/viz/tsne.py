@@ -96,7 +96,7 @@ def tsne(
     p = _calibrated_p(d2, float(perplexity))
     init = pca_transform(x, n_components)
     init = init / max(np.std(init[:, 0]), 1e-12) * 1e-4   # sklearn pca-init scale
-    lr = max(n / 12.0, 50.0)                              # sklearn 'auto'
+    lr = max(n / 48.0, 50.0)          # sklearn 'auto': n / exaggeration / 4
     y = _tsne_optimize(p, jnp.asarray(init, jnp.float32), jnp.float32(lr),
                        n_iter=n_iter)
     return np.asarray(y)
