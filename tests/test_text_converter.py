@@ -1,0 +1,119 @@
+"""Numerical test of the HF→flax weight converter: a hand-built torch
+encoder (HF XLM-R naming and semantics) must produce the same embeddings as
+the flax SentenceEncoder after conversion."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+
+import jax.numpy as jnp
+
+from tpuvae.text import EncoderConfig, SentenceEncoder, convert_hf_state_dict
+
+CFG = EncoderConfig(
+    vocab_size=120, hidden=32, layers=2, heads=4, intermediate=64,
+    max_positions=40, pad_token_id=1,
+)
+
+
+class TorchLayer(nn.Module):
+    def __init__(self, h, heads, inter, eps):
+        super().__init__()
+        self.h, self.heads = h, heads
+        self.attention_self_query = nn.Linear(h, h)
+        self.attention_self_key = nn.Linear(h, h)
+        self.attention_self_value = nn.Linear(h, h)
+        self.attention_output_dense = nn.Linear(h, h)
+        self.attention_output_LayerNorm = nn.LayerNorm(h, eps=eps)
+        self.intermediate_dense = nn.Linear(h, inter)
+        self.output_dense = nn.Linear(inter, h)
+        self.output_LayerNorm = nn.LayerNorm(h, eps=eps)
+
+    def forward(self, x, mask):
+        b, t, h = x.shape
+        d = h // self.heads
+
+        def split(v):
+            return v.view(b, t, self.heads, d).transpose(1, 2)
+
+        q = split(self.attention_self_query(x))
+        k = split(self.attention_self_key(x))
+        v = split(self.attention_self_value(x))
+        scores = q @ k.transpose(-1, -2) / d**0.5
+        scores = scores.masked_fill(~mask[:, None, None, :], float("-inf"))
+        attn = torch.softmax(scores, -1) @ v
+        attn = attn.transpose(1, 2).reshape(b, t, h)
+        x = self.attention_output_LayerNorm(x + self.attention_output_dense(attn))
+        ff = self.output_dense(torch.nn.functional.gelu(self.intermediate_dense(x)))
+        return self.output_LayerNorm(x + ff)
+
+
+class TorchEncoder(nn.Module):
+    def __init__(self, cfg: EncoderConfig):
+        super().__init__()
+        self.cfg = cfg
+        self.word = nn.Embedding(cfg.vocab_size, cfg.hidden)
+        self.pos = nn.Embedding(cfg.max_positions, cfg.hidden)
+        self.type_emb = nn.Embedding(cfg.type_vocab, cfg.hidden)
+        self.emb_ln = nn.LayerNorm(cfg.hidden, eps=cfg.layer_norm_eps)
+        self.layers = nn.ModuleList(
+            [TorchLayer(cfg.hidden, cfg.heads, cfg.intermediate,
+                        cfg.layer_norm_eps) for _ in range(cfg.layers)]
+        )
+
+    def forward(self, ids, mask):
+        positions = (torch.cumsum(mask, 1) * mask + self.cfg.pad_token_id).long()
+        x = self.word(ids) + self.pos(positions) + self.type_emb(torch.zeros_like(ids))
+        x = self.emb_ln(x)
+        for layer in self.layers:
+            x = layer(x, mask.bool())
+        m = mask[..., None].float()
+        return (x * m).sum(1) / m.sum(1).clamp(min=1e-9)
+
+    def hf_state_dict(self):
+        sd = {
+            "embeddings.word_embeddings.weight": self.word.weight,
+            "embeddings.position_embeddings.weight": self.pos.weight,
+            "embeddings.token_type_embeddings.weight": self.type_emb.weight,
+            "embeddings.LayerNorm.weight": self.emb_ln.weight,
+            "embeddings.LayerNorm.bias": self.emb_ln.bias,
+        }
+        for i, l in enumerate(self.layers):
+            p = f"encoder.layer.{i}."
+            sd[p + "attention.self.query.weight"] = l.attention_self_query.weight
+            sd[p + "attention.self.query.bias"] = l.attention_self_query.bias
+            sd[p + "attention.self.key.weight"] = l.attention_self_key.weight
+            sd[p + "attention.self.key.bias"] = l.attention_self_key.bias
+            sd[p + "attention.self.value.weight"] = l.attention_self_value.weight
+            sd[p + "attention.self.value.bias"] = l.attention_self_value.bias
+            sd[p + "attention.output.dense.weight"] = l.attention_output_dense.weight
+            sd[p + "attention.output.dense.bias"] = l.attention_output_dense.bias
+            sd[p + "attention.output.LayerNorm.weight"] = l.attention_output_LayerNorm.weight
+            sd[p + "attention.output.LayerNorm.bias"] = l.attention_output_LayerNorm.bias
+            sd[p + "intermediate.dense.weight"] = l.intermediate_dense.weight
+            sd[p + "intermediate.dense.bias"] = l.intermediate_dense.bias
+            sd[p + "output.dense.weight"] = l.output_dense.weight
+            sd[p + "output.dense.bias"] = l.output_dense.bias
+            sd[p + "output.LayerNorm.weight"] = l.output_LayerNorm.weight
+            sd[p + "output.LayerNorm.bias"] = l.output_LayerNorm.bias
+        return {k: v.detach().numpy() for k, v in sd.items()}
+
+
+def test_converted_weights_reproduce_torch_outputs():
+    torch.manual_seed(0)
+    tmodel = TorchEncoder(CFG).eval()
+    rng = np.random.default_rng(0)
+    ids = rng.integers(2, CFG.vocab_size, (3, 12))
+    mask = np.ones((3, 12), np.int64)
+    mask[1, 8:] = 0
+    mask[2, 5:] = 0
+    ids = np.where(mask, ids, CFG.pad_token_id)
+
+    with torch.no_grad():
+        want = tmodel(torch.tensor(ids), torch.tensor(mask)).numpy()
+
+    variables = convert_hf_state_dict(tmodel.hf_state_dict(), CFG)
+    fmodel = SentenceEncoder(CFG)
+    got = np.asarray(fmodel.apply(variables, jnp.asarray(ids), jnp.asarray(mask)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
