@@ -182,3 +182,20 @@ def test_dbscan_sweep_and_fallback(blobs):
     # degenerate sweep -> fallback eps (ref Convolutional_VAE.py:370-372)
     res2 = dbscan_eps_sweep(x, [1e-6], fallback_eps=10.0)
     assert res2.best_param == 10.0
+
+
+def test_dynamic_k_kmeans_matches_static(blobs):
+    from tpuvae.cluster.kmeans import kmeans_dynamic
+
+    x, y = blobs
+    import sklearn.metrics as skm
+
+    for k in (2, 3, 4, 6):
+        dyn = kmeans_dynamic(x, k, k_max=8, n_init=10, seed=42)
+        stat = kmeans(x, k, n_init=10, seed=42)
+        assert len(set(dyn.labels.tolist())) == len(set(stat.labels.tolist()))
+        # equal-quality solutions (RNG differs: dynamic uses k_max-trial
+        # seeding); on separated blobs at true k they agree exactly
+        assert dyn.inertia <= stat.inertia * 1.05, (k, dyn.inertia, stat.inertia)
+    dyn4 = kmeans_dynamic(x, 4, k_max=8, n_init=10, seed=42)
+    assert skm.adjusted_rand_score(dyn4.labels, y) == 1.0

@@ -147,3 +147,122 @@ def kmeans(
         inertia=float(inertia),
         n_iter=int(n_iter),
     )
+
+
+# -----------------------------------------------------------------------------
+# Dynamic-k variant: ONE compiled program serves a whole K-sweep
+# -----------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("k_max", "n_init", "max_iter"))
+def _kmeans_dynamic_device(x, k, seed, k_max: int, n_init: int,
+                           max_iter: int, tol_scaled):
+    """K-Means where ``k`` is a traced runtime value bounded by static
+    ``k_max``: cluster slots ≥ k are masked out of assignment, updates and
+    empty-cluster reseeding.  A K-sweep (ref ``Convolutional_VAE.py:311-344``,
+    k=2..14) then compiles ONE executable instead of one per k — on this
+    environment each extra executable costs minutes of remote compile."""
+    n = x.shape[0]
+    xsq = jnp.sum(x * x, axis=1)
+    slot = jnp.arange(k_max)
+    valid = slot < k                                     # (k_max,)
+    n_trials = 2 + int(np.floor(np.log(max(k_max, 2))))
+
+    def d2_fn(a, b):
+        return (
+            jnp.sum(a * a, axis=1)[:, None]
+            + jnp.sum(b * b, axis=1)[None, :]
+            - 2.0 * (a @ b.T)
+        ).clip(0.0)
+
+    def init_centers(rng):
+        r0, rng = jax.random.split(rng)
+        first = jax.random.randint(r0, (), 0, n)
+        centers0 = jnp.zeros((k_max, x.shape[1]), x.dtype).at[0].set(x[first])
+        closest0 = d2_fn(x, x[first][None, :])[:, 0]
+
+        def body(carry, i):
+            centers, closest, rng = carry
+            rng, rc = jax.random.split(rng)
+            probs = closest / jnp.maximum(jnp.sum(closest), 1e-30)
+            cand_idx = jax.random.choice(rc, n, (n_trials,), p=probs)
+            cand_d2 = d2_fn(x, x[cand_idx])
+            new_closest = jnp.minimum(closest[:, None], cand_d2)
+            pots = jnp.sum(new_closest, axis=0)
+            best = jnp.argmin(pots)
+            active = i < k
+            centers = centers.at[i].set(
+                jnp.where(active, x[cand_idx[best]], centers[i])
+            )
+            closest = jnp.where(active, new_closest[:, best], closest)
+            return (centers, closest, rng), None
+
+        (centers, _, _), _ = jax.lax.scan(
+            body, (centers0, closest0, rng), jnp.arange(1, k_max)
+        )
+        return centers
+
+    def assign(centers):
+        d2 = (
+            xsq[:, None]
+            + jnp.sum(centers * centers, axis=1)[None, :]
+            - 2.0 * (x @ centers.T)
+        )
+        d2 = jnp.where(valid[None, :], d2, jnp.inf)
+        return jnp.argmin(d2, axis=1), jnp.maximum(jnp.min(d2, axis=1), 0.0)
+
+    def lloyd(centers0):
+        def update(labels, min_d2):
+            onehot = jax.nn.one_hot(labels, k_max, dtype=x.dtype)
+            counts = jnp.sum(onehot, axis=0)
+            sums = onehot.T @ x
+            new = sums / jnp.maximum(counts, 1.0)[:, None]
+            n_top = min(k_max, n)
+            _, far_idx = jax.lax.top_k(min_d2, n_top)
+            empties = (counts == 0) & valid
+            empty_rank = jnp.cumsum(empties.astype(jnp.int32)) - 1
+            reseed = x[far_idx[jnp.clip(empty_rank, 0, n_top - 1) % n_top]]
+            new = jnp.where(empties[:, None], reseed, new)
+            return jnp.where(valid[:, None], new, centers0)
+
+        def cond(state):
+            _, shift2, it, _ = state
+            return (shift2 > tol_scaled) & (it < max_iter)
+
+        def step(state):
+            centers, _, it, _ = state
+            labels, min_d2 = assign(centers)
+            new_centers = update(labels, min_d2)
+            shift2 = jnp.sum((new_centers - centers) ** 2)
+            return new_centers, shift2, it + 1, labels
+
+        centers, _, _, _ = jax.lax.while_loop(
+            cond, step, (centers0, jnp.inf, 0, jnp.zeros((n,), jnp.int32))
+        )
+        labels, min_d2 = assign(centers)
+        return labels.astype(jnp.int32), centers, jnp.sum(min_d2)
+
+    def one_init(rng):
+        return lloyd(init_centers(rng))
+
+    rngs = jax.random.split(jax.random.PRNGKey(seed), n_init)
+    labels, centers, inertias = jax.vmap(one_init)(rngs)
+    best = jnp.argmin(inertias)
+    return labels[best], centers[best], inertias[best]
+
+
+def kmeans_dynamic(
+    x, k: int, k_max: int, *, n_init: int = 10, max_iter: int = 300,
+    tol: float = 1e-4, seed: int = 42,
+) -> KMeansResult:
+    """K-Means with runtime k (one compile per (shape, k_max))."""
+    x = jnp.asarray(x, jnp.float32)
+    tol_scaled = tol * float(jnp.mean(jnp.var(x, axis=0)))
+    labels, centers, inertia = _kmeans_dynamic_device(
+        x, jnp.int32(k), seed, k_max, n_init, max_iter, jnp.float32(tol_scaled)
+    )
+    return KMeansResult(
+        labels=np.asarray(labels),
+        centers=np.asarray(centers)[:k],
+        inertia=float(inertia),
+        n_iter=-1,
+    )

@@ -44,12 +44,20 @@ def _sil(dist, labels_np) -> float:
 def kmeans_k_sweep(
     x, k_values: Sequence[int], *, n_init: int = 10, seed: int = 42
 ) -> SweepResult:
+    """Silhouette-maximizing K.  Uses the dynamic-k kmeans so the whole sweep
+    shares ONE compiled executable (one per k costs minutes of compile on
+    remote-compile TPU environments), and one fixed-width silhouette graph
+    (empty cluster slots contribute nothing to the score)."""
+    from tpuvae.cluster.kmeans import kmeans_dynamic
+
     xd = jnp.asarray(x, jnp.float32)
     dist = self_distances(xd)
+    k_values = list(k_values)
+    k_max = max(k_values)
     best_k, best_s, best_labels, scores = None, -1.0, None, {}
     for k in k_values:
-        labels = kmeans(xd, k, n_init=n_init, seed=seed).labels
-        s = _sil(dist, labels)
+        labels = kmeans_dynamic(xd, k, k_max, n_init=n_init, seed=seed).labels
+        s = float(silhouette_from_distances(dist, jnp.asarray(labels), k_max))
         scores[k] = s
         if s > best_s:
             best_k, best_s, best_labels = k, s, labels
