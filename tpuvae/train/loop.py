@@ -99,64 +99,78 @@ def fit(
             "batch_stats", state.batch_stats))
         return state, loss, aux
 
-    # NOTE: datasets are passed as explicit jit arguments, never closed over —
-    # closure-captured concrete arrays become baked-in constants, bloating the
-    # executable and re-uploading the dataset on every call.
+    n_train_arrays = len(train_data)
+    if val_data is not None:
+        n_val = int(val_data[0].shape[0])
+        vsteps, vrem = _split_batches(n_val, cfg.batch_size)
+        val_batches = vsteps + (1 if vrem else 0)
+    else:
+        vsteps = vrem = 0
+
+    def _val_total(state: TrainState, rng, vdata):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+        def body(carry, i):
+            start = i * cfg.batch_size
+            batch = tuple(
+                jax.lax.dynamic_slice_in_dim(d, start, cfg.batch_size, 0)
+                for d in vdata
+            )
+            loss, _, _ = loss_fn(state, variables, batch,
+                                 jax.random.fold_in(rng, i), False)
+            return carry + loss, None
+
+        total = 0.0
+        if vsteps:
+            total, _ = jax.lax.scan(body, 0.0, jnp.arange(vsteps))
+        if vrem:
+            batch = tuple(d[vsteps * cfg.batch_size :] for d in vdata)
+            loss, _, _ = loss_fn(state, variables, batch,
+                                 jax.random.fold_in(rng, vsteps), False)
+            total = total + loss
+        return total
+
+    # ONE device call per epoch: scanned full batches + remainder step +
+    # validation pass.  NOTE: buffer donation is deliberately NOT used — on
+    # the axon relay backend donate_argnums cost ~2s/epoch in defensive
+    # copies (measured), dwarfing any memory win.  Datasets are explicit jit
+    # arguments, never closed over — captured concrete arrays become
+    # baked-in constants and re-upload every call.
     @jax.jit
-    def epoch_scan(state: TrainState, perm: jnp.ndarray, rng, *data):
-        """One pass over the `steps` full batches."""
+    def epoch_call(state: TrainState, perm: jnp.ndarray, rng, *data):
+        tdata = data[:n_train_arrays]
+        vdata = data[n_train_arrays:]
         perm_full = perm[: steps * cfg.batch_size].reshape(steps, cfg.batch_size)
 
         def body(carry, xs):
             st = carry
             idx, i = xs
-            batch = _gather_batch(data, idx)
+            batch = _gather_batch(tdata, idx)
             st, loss, aux = train_step(st, batch, jax.random.fold_in(rng, i))
-            return st, (loss, aux)
+            return st, loss
 
-        state, (losses, auxes) = jax.lax.scan(
-            body, state, (perm_full, jnp.arange(steps))
+        loss_sum = 0.0
+        if steps:
+            state, losses = jax.lax.scan(
+                body, state, (perm_full, jnp.arange(steps))
+            )
+            loss_sum = jnp.sum(losses)
+        if rem:
+            batch = _gather_batch(tdata, perm[steps * cfg.batch_size :])
+            state, rloss, _ = train_step(
+                state, batch, jax.random.fold_in(rng, steps)
+            )
+            loss_sum = loss_sum + rloss
+        val_total = (
+            _val_total(state, jax.random.fold_in(rng, steps + 2), vdata)
+            if vdata else jnp.float32(0.0)
         )
-        return state, jnp.sum(losses), jax.tree_util.tree_map(jnp.sum, auxes)
-
-    @jax.jit
-    def rem_step(state: TrainState, idx: jnp.ndarray, rng, *data):
-        batch = _gather_batch(data, idx)
-        return train_step(state, batch, rng)
-
-    def eval_loss(nv: int):
-        vsteps, vrem = _split_batches(nv, cfg.batch_size)
-
-        @jax.jit
-        def _eval(state: TrainState, rng, *data):
-            variables = {"params": state.params, "batch_stats": state.batch_stats}
-
-            def body(carry, i):
-                start = i * cfg.batch_size
-                batch = tuple(
-                    jax.lax.dynamic_slice_in_dim(d, start, cfg.batch_size, 0)
-                    for d in data
-                )
-                loss, _, _ = loss_fn(state, variables, batch,
-                                     jax.random.fold_in(rng, i), False)
-                return carry + loss, None
-
-            total = 0.0
-            if vsteps:
-                total, _ = jax.lax.scan(body, 0.0, jnp.arange(vsteps))
-            if vrem:
-                batch = tuple(d[vsteps * cfg.batch_size :] for d in data)
-                loss, _, _ = loss_fn(state, variables, batch,
-                                     jax.random.fold_in(rng, vsteps), False)
-                total = total + loss
-            return total
-
-        return _eval, vsteps + (1 if vrem else 0), nv
+        return state, loss_sum, val_total
 
     if val_data is not None:
         val_data = tuple(jnp.asarray(d) for d in val_data)
-        val_fn, val_batches, n_val = eval_loss(int(val_data[0].shape[0]))
     train_data = tuple(jnp.asarray(d) for d in train_data)
+    all_data = train_data + (val_data if val_data is not None else ())
 
     history: dict[str, list[float]] = {"train_loss": [], "val_loss": [], "lr": []}
     best = float("inf")
@@ -194,15 +208,13 @@ def fit(
     for epoch in range(start_epoch, cfg.epochs):
         ep_rng = jax.random.fold_in(rng, epoch)
         perm = jax.random.permutation(jax.random.fold_in(ep_rng, 0), n)
-        state, loss_sum, _ = epoch_scan(state, perm, jax.random.fold_in(ep_rng, 1), *train_data)
-        if rem:
-            state, rloss, _ = rem_step(
-                state, perm[steps * cfg.batch_size :], jax.random.fold_in(ep_rng, 2),
-                *train_data,
-            )
-            loss_sum = loss_sum + rloss
+        state, loss_sum, val_total = epoch_call(
+            state, perm, jax.random.fold_in(ep_rng, 1), *all_data
+        )
         total_steps += n_batches
 
+        # ONE host sync for both scalars (each float() is a relay round trip)
+        loss_sum, val_total = jax.device_get((loss_sum, val_total))
         denom = n_batches if cfg.loss_normalizer == "per_batch" else n
         train_loss = float(loss_sum) / denom
         history["train_loss"].append(train_loss)
@@ -210,9 +222,7 @@ def fit(
 
         if val_data is not None:
             vdenom = val_batches if cfg.loss_normalizer == "per_batch" else n_val
-            val_loss = float(
-                val_fn(state, jax.random.fold_in(ep_rng, 3), *val_data)
-            ) / vdenom
+            val_loss = float(val_total) / vdenom
             history["val_loss"].append(val_loss)
         monitored = train_loss if cfg.monitor == "train" else val_loss
 
@@ -234,7 +244,11 @@ def fit(
             best_epoch = epoch
             patience_counter = 0
             if cfg.restore_best:
-                best_snapshot = (state.params, state.batch_stats)
+                # deep-copy: the live state's buffers are donated to the next
+                # epoch_call and would be invalidated under the snapshot
+                best_snapshot = jax.tree_util.tree_map(
+                    jnp.array, (state.params, state.batch_stats)
+                )
         else:
             patience_counter += 1
 
