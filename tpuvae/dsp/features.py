@@ -262,4 +262,13 @@ def extract_advanced(
 
 def jit_extractor(fn, cfg, **kwargs):
     """jit-wrap an extractor with the config closed over (static shapes)."""
-    return jax.jit(lambda y: fn(y, cfg, **kwargs))
+
+    def wrapped(y):
+        if y.ndim != 2:
+            raise ValueError(
+                f"extractors take batched waveforms (B, num_samples); got "
+                f"shape {y.shape} — wrap single clips with y[None, :]"
+            )
+        return fn(y, cfg, **kwargs)
+
+    return jax.jit(wrapped)
