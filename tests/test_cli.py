@@ -1,0 +1,74 @@
+"""CLI routing tests (pipeline functions stubbed — no compute)."""
+
+import sys
+
+import pytest
+
+import tpuvae.cli as cli
+
+
+def test_help_exits_zero(capsys):
+    assert cli.main([]) == 0
+    assert "synth-data" in capsys.readouterr().out
+
+
+def test_unknown_command(capsys):
+    assert cli.main(["frobnicate"]) == 2
+    assert "unknown command" in capsys.readouterr().out
+
+
+def test_bad_config_key_is_friendly(capsys):
+    rc = cli.main(["preprocess", "--definitely_not_a_key=1"])
+    assert rc == 2
+    assert "no field" in capsys.readouterr().err
+
+
+def test_all_routes_data_dirs(monkeypatch):
+    calls = {}
+
+    def fake(name):
+        def f(data, results, *a, **k):
+            calls[name] = (data, results)
+            import pandas as pd
+
+            return pd.DataFrame({"Method": ["x"], "Silhouette": [0.0]})
+
+        return f
+
+    import tpuvae.pipelines as p
+
+    monkeypatch.setattr(p, "run_simple_vae", fake("simple"))
+    monkeypatch.setattr(p, "run_conditional_vae", fake("cvae"))
+    monkeypatch.setattr(p, "run_hybrid_vae", fake("hybrid"))
+    assert cli.main(["all", "--results_dir=R"]) == 0
+    assert calls["simple"] == ("processed_data1", "R")
+    assert calls["cvae"] == ("processed_data2", "R")
+    assert calls["hybrid"] == ("processed_data2", "R")
+
+    calls.clear()
+    # --data_dir must NOT alias both dirs in 'all'
+    assert cli.main(["all", "--data_dir=weird"]) == 0
+    assert calls["simple"][0] == "processed_data1"
+    assert calls["cvae"][0] == "processed_data2"
+
+    calls.clear()
+    assert cli.main(["all", "--data1_dir=D1", "--data2_dir=D2"]) == 0
+    assert calls["simple"][0] == "D1"
+    assert calls["hybrid"][0] == "D2"
+
+
+def test_single_pipeline_data_dir(monkeypatch):
+    seen = {}
+
+    def fake(data, results, cfg, *a, **k):
+        seen["data"] = data
+        seen["epochs"] = cfg.epochs
+        import pandas as pd
+
+        return pd.DataFrame({"Method": ["x"], "Silhouette": [0.0]})
+
+    import tpuvae.pipelines as p
+
+    monkeypatch.setattr(p, "run_simple_vae", fake)
+    assert cli.main(["train-simple", "--data_dir=mydir", "--epochs=7"]) == 0
+    assert seen == {"data": "mydir", "epochs": 7}
