@@ -41,3 +41,27 @@ def test_kernel_feeds_silhouette():
     got = float(silhouette_from_distances(d, jnp.asarray(lab), k))
     want = sk_sil(x, labels)
     assert abs(got - want) < 1e-4
+
+
+def test_pallas_stft_matches_dft_path():
+    from tpuvae.dsp import stft_power
+    from tpuvae.ops.stft import stft_power_pallas
+
+    rng = np.random.default_rng(0)
+    y = rng.standard_normal((3, 44100)).astype(np.float32) * 0.3
+    got = np.asarray(stft_power_pallas(jnp.asarray(y)))
+    want = np.asarray(stft_power(jnp.asarray(y), method="dft"))
+    assert got.shape == want.shape == (3, 1025, 87)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+    # via the stft_power method switch
+    got2 = np.asarray(stft_power(jnp.asarray(y), method="pallas"))
+    np.testing.assert_array_equal(got, got2)
+
+
+def test_pallas_stft_rejects_bad_hop():
+    import pytest as _pytest
+
+    from tpuvae.ops.stft import stft_power_pallas
+
+    with _pytest.raises(ValueError, match="hop"):
+        stft_power_pallas(jnp.zeros((1, 4096)), n_fft=2048, hop_length=500)

@@ -100,11 +100,18 @@ def stft_power(
 
     ``method='fft'`` uses XLA's FFT; ``method='dft'`` evaluates the real DFT
     as two dense matmuls against a cos/sin basis so the work lands on the TPU
-    MXU.  ``'auto'`` picks 'dft' on TPU (where XLA exposes no FFT lowering on
-    this backend and the MXU eats the extra FLOPs) and 'fft' elsewhere.
+    MXU.  ``'pallas'`` uses the fused framing+window+DFT Pallas kernel
+    (``tpuvae.ops.stft``) — ~1.25× faster than 'dft' on TPU, with MXU-pass
+    fp noise ~1e-3 relative (use 'dft' for strict parity work).  ``'auto'``
+    picks 'dft' on TPU (XLA exposes no FFT lowering on this backend) and
+    'fft' elsewhere.
     """
     if method == "auto":
         method = "dft" if jax.default_backend() not in ("cpu", "gpu") else "fft"
+    if method == "pallas":
+        from tpuvae.ops.stft import stft_power_pallas
+
+        return stft_power_pallas(y, n_fft, hop_length, pad_mode=pad_mode)
     if window is None:
         window = hann_window(n_fft)
     frames = frame_signal(y, n_fft, hop_length, pad_mode=pad_mode)
