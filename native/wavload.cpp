@@ -71,7 +71,7 @@ bool read_wav(const char* path, WavData* out) {
     }
   }
   std::fclose(f);
-  if (!have_fmt || !have_data || channels == 0) return false;
+  if (!have_fmt || !have_data || channels == 0 || sr == 0) return false;
 
   size_t n = 0;
   std::vector<float> s;

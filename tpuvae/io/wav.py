@@ -38,6 +38,8 @@ def read_wav(path: str | Path) -> tuple[np.ndarray, int]:
     if fmt is None or raw is None:
         raise ValueError(f"{path}: missing fmt/data chunk")
     audio_format, channels, sr, _, _, bits = fmt
+    if channels == 0 or sr == 0:
+        raise ValueError(f"{path}: invalid fmt (channels={channels}, sr={sr})")
     if audio_format == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: real code is the
         # first 2 bytes of the SubFormat GUID at offset 24 of the fmt body
         if fmt_body is not None and len(fmt_body) >= 26:
