@@ -51,7 +51,8 @@ def main():
     # --- CPU serial baseline (reference-equivalent numpy chain) ------------
     import reference_dsp as ref
 
-    n_cpu = 2
+    ref.basic_feature_vector(clips[0], cfg.sample_rate)   # warm-up (FFT plans)
+    n_cpu = 4
     t0 = time.time()
     for i in range(n_cpu):
         ref.basic_feature_vector(clips[i], cfg.sample_rate)

@@ -61,10 +61,20 @@ bool read_wav(const char* path, WavData* out) {
         }
       }
       if (csize > take) std::fseek(f, csize - take, SEEK_CUR);
+      if (csize & 1) std::fseek(f, 1, SEEK_CUR);
       have_fmt = true;
     } else if (!std::memcmp(cid, "data", 4)) {
-      data.resize(csize);
-      if (std::fread(data.data(), 1, csize, f) != csize) break;
+      // never trust the header size: cap by the actual remaining bytes
+      const long here = std::ftell(f);
+      std::fseek(f, 0, SEEK_END);
+      const long remain = std::ftell(f) - here;
+      std::fseek(f, here, SEEK_SET);
+      const uint32_t take = csize < uint32_t(std::max(0L, remain))
+                                ? csize
+                                : uint32_t(std::max(0L, remain));
+      data.resize(take);
+      if (take && std::fread(data.data(), 1, take, f) != take) break;
+      if (csize & 1) std::fseek(f, 1, SEEK_CUR);
       have_data = true;
     } else {
       std::fseek(f, csize + (csize & 1), SEEK_CUR);
@@ -181,7 +191,7 @@ extern "C" {
 // Decode + mono + resample + truncate/pad.  Returns 0 on success.
 // out must hold out_len floats (= target_sr * duration).
 int tpuvae_load_audio(const char* path, int target_sr, double duration,
-                      float* out, int64_t out_len) {
+                      float* out, int64_t out_len) try {
   WavData w;
   if (!read_wav(path, &w)) return 1;
   // mono mixdown
@@ -207,6 +217,9 @@ int tpuvae_load_audio(const char* path, int target_sr, double duration,
   const size_t n = size_t(out_len);
   for (size_t i = 0; i < n; ++i) out[i] = (i < res.size()) ? res[i] : 0.0f;
   return 0;
+} catch (...) {
+  // never let bad_alloc etc. cross the C ABI into the Python process
+  return 2;
 }
 
 // Batch variant: decode `count` paths (NUL-separated) into a contiguous

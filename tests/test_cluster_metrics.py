@@ -199,3 +199,12 @@ def test_dynamic_k_kmeans_matches_static(blobs):
         assert dyn.inertia <= stat.inertia * 1.05, (k, dyn.inertia, stat.inertia)
     dyn4 = kmeans_dynamic(x, 4, k_max=8, n_init=10, seed=42)
     assert skm.adjusted_rand_score(dyn4.labels, y) == 1.0
+
+
+def test_nmi_trivial_partitions_match_sklearn():
+    import jax.numpy as jnp
+    both = normalized_mutual_info(jnp.zeros(5, jnp.int32), jnp.zeros(5, jnp.int32), 1, 1)
+    assert float(both) == skm.normalized_mutual_info_score([0]*5, [0]*5) == 1.0
+    one = normalized_mutual_info(jnp.zeros(4, jnp.int32),
+                                 jnp.asarray([0, 1, 0, 1]), 1, 2)
+    assert float(one) == skm.normalized_mutual_info_score([0]*4, [0,1,0,1]) == 0.0

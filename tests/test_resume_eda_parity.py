@@ -140,3 +140,37 @@ def test_parity_compare_tool(tmp_path):
     df2.to_csv(tmp_path / "b.csv", index=False)
     problems = compare_metrics_csv(tmp_path / "a.csv", tmp_path / "b.csv")
     assert len(problems) == 1 and "Silhouette" in problems[0]
+
+
+def test_restore_best_survives_checkpoint_resume(tmp_path):
+    """After a resume, restore_best must return the pre-interrupt best
+    weights even if no later epoch improves."""
+    from tpuvae.models import SimpleVAE
+    from tpuvae.train import (FitConfig, create_state, fit,
+                              simple_vae_objective)
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(64, 10)).astype(np.float32)
+    model = SimpleVAE(input_dim=10, hidden_dims=(8,), latent_dim=4)
+    key = jax.random.PRNGKey(0)
+
+    def build():
+        return create_state(model, key, (jnp.asarray(x[:2]), key), 1e-3,
+                            train=True)
+
+    obj = simple_vae_objective(beta=0.2)
+    ck = str(tmp_path / "ck")
+    # phase 1: 4 epochs with checkpointing + best tracking
+    cfg_a = FitConfig(epochs=4, batch_size=32, patience=100, seed=0,
+                      restore_best=True, checkpoint_dir=ck, checkpoint_every=1)
+    res_a = fit(build(), obj, (x,), cfg_a)
+    # phase 2: resume but allow ZERO new epochs to improve (epochs == resume
+    # point) -> returned weights must equal phase 1's best snapshot
+    cfg_b = FitConfig(epochs=4, batch_size=32, patience=100, seed=0,
+                      restore_best=True, checkpoint_dir=ck,
+                      checkpoint_every=1, resume=True)
+    res_b = fit(build(), obj, (x,), cfg_b)
+    for a, b in zip(jax.tree_util.tree_leaves(res_a.state.params),
+                    jax.tree_util.tree_leaves(res_b.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)

@@ -65,5 +65,10 @@ def test_native_decoder_fails_cleanly(tmp_path):
     if not native_loader.native_available():
         pytest.skip("native loader not built")
     for name, p in _cases(tmp_path).items():
+        if name == "truncated_data":
+            # lenient short decode, zero-padded (matches the Python decoder)
+            out = native_loader.load_audio_native(p, 8000, 0.5)
+            assert out.shape == (4000,)
+            continue
         with pytest.raises((IOError, RuntimeError)):
             native_loader.load_audio_native(p, 8000, 0.5)

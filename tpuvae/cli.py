@@ -115,26 +115,41 @@ def _dispatch(argv) -> int:
         if cmd == "all" and "data_dir" in extras and "data1_dir" not in extras:
             data1 = "processed_data1"   # never alias both to one dir in 'all'
         results = extras.get("results_dir", "results")
+        def build_cfg(cfg_cls):
+            """For 'all': apply each override to every config that has the
+            field (unknown keys are validated upfront below)."""
+            if cmd != "all":
+                return cfg_cls().override(cfg_args)
+            base = cfg_cls()
+            mine = [a for a in cfg_args
+                    if a.lstrip("-").split("=", 1)[0] in base.to_dict()]
+            return base.override(mine)
+
+        if cmd == "all" and cfg_args:
+            known: set = set()
+            for cls in (SimpleVAEConfig, ConditionalVAEConfig, HybridVAEConfig):
+                known |= set(cls().to_dict())
+            unknown = sorted(
+                {a.lstrip("-").split("=", 1)[0] for a in cfg_args} - known
+            )
+            if unknown:
+                raise KeyError(f"no training config has field(s) {unknown}")
+
         if cmd in ("train-simple", "all"):
             from tpuvae.pipelines import run_simple_vae
 
-            df = run_simple_vae(data1, results,
-                                SimpleVAEConfig().override(cfg_args)
-                                if cmd != "all" else SimpleVAEConfig())
+            df = run_simple_vae(data1, results, build_cfg(SimpleVAEConfig))
             print(df.to_string(index=False))
         if cmd in ("train-cvae", "all"):
             from tpuvae.pipelines import run_conditional_vae
 
             df = run_conditional_vae(data2, results,
-                                     ConditionalVAEConfig().override(cfg_args)
-                                     if cmd != "all" else ConditionalVAEConfig())
+                                     build_cfg(ConditionalVAEConfig))
             print(df.to_string(index=False))
         if cmd in ("train-hybrid", "all"):
             from tpuvae.pipelines import run_hybrid_vae
 
-            df = run_hybrid_vae(data2, results,
-                                HybridVAEConfig().override(cfg_args)
-                                if cmd != "all" else HybridVAEConfig())
+            df = run_hybrid_vae(data2, results, build_cfg(HybridVAEConfig))
             print(df.to_string(index=False))
         return 0
 

@@ -51,9 +51,10 @@ def _get_lib():
 
 
 def native_available() -> bool:
-    return _get_lib() is not None and os.environ.get(
-        "TPUVAE_DISABLE_NATIVE", "0"
-    ) != "1"
+    # env kill-switch first: it must not trigger the on-demand build
+    if os.environ.get("TPUVAE_DISABLE_NATIVE", "0") == "1":
+        return False
+    return _get_lib() is not None
 
 
 def load_audio_native(path, sample_rate: int = 22050,

@@ -65,7 +65,7 @@ def read_wav(path: str | Path) -> tuple[np.ndarray, int]:
             x = raw_np(raw, "<i4").astype(np.float32) / 2147483648.0
         else:
             raise ValueError(f"unsupported PCM bit depth {bits}")
-    elif audio_format == 3:  # IEEE float
+    elif audio_format == 3 and bits in (32, 64):  # IEEE float
         x = raw_np(raw, "<f4" if bits == 32 else "<f8").astype(np.float32)
     else:
         raise ValueError(f"unsupported WAV format code {audio_format}")

@@ -62,7 +62,8 @@ def normalized_mutual_info(y_true, y_pred, n_true: int, n_pred: int) -> jnp.ndar
     h_true = -jnp.sum(jnp.where(pi > 0, pi * jnp.log(pi), 0.0))
     h_pred = -jnp.sum(jnp.where(pj > 0, pj * jnp.log(pj), 0.0))
     mean_h = 0.5 * (h_true + h_pred)
-    # sklearn: if either partition is trivial (H==0), NMI=0
-    return jnp.where(
-        (h_true == 0.0) | (h_pred == 0.0), 0.0, jnp.maximum(mi, 0.0) / mean_h
-    )
+    # sklearn: both partitions trivial -> 1.0; exactly one trivial -> 0.0
+    both_trivial = (h_true == 0.0) & (h_pred == 0.0)
+    either_trivial = (h_true == 0.0) | (h_pred == 0.0)
+    safe = jnp.maximum(mi, 0.0) / jnp.where(mean_h > 0, mean_h, 1.0)
+    return jnp.where(both_trivial, 1.0, jnp.where(either_trivial, 0.0, safe))

@@ -271,11 +271,18 @@ def preprocess_advanced(
                 f"delete {manifest.dir} to start fresh"
             )
         ok = [by_id[i] for i in ids]
-        mels, flats = arrays["mel"], arrays["flat"]
+        mels = arrays.get("mel", np.zeros((0, cfg.n_mels, cfg.fixed_time_steps)))
+        flats = arrays.get("flat", np.zeros((0, cfg.flat_feature_dim)))
         assert len(ok) == len(mels) == len(flats), (len(ok), len(mels))
     else:
-        mels = np.concatenate([o[0] for o in outs])
-        flats = np.concatenate([o[1] for o in outs])
+        mels = (np.concatenate([o[0] for o in outs]) if outs
+                else np.zeros((0, cfg.n_mels, cfg.fixed_time_steps)))
+        flats = (np.concatenate([o[1] for o in outs]) if outs
+                 else np.zeros((0, cfg.flat_feature_dim)))
+    if not ok:
+        raise ValueError(
+            "No audio files decoded successfully! Check paths and formats."
+        )
     labels = np.array([e.genre for e in ok])
     with timer.stage("lyrics_embeddings", items=len(ok)):
         embeddings = create_lyrics_embeddings(

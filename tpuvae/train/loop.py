@@ -202,6 +202,21 @@ def fit(
             plateau_counter = int(meta["plateau_counter"])
             lr = float(meta["lr"])
             history = meta["history"]
+            if cfg.restore_best:
+                # rehydrate the best-weights snapshot, else a resumed run
+                # that never improves again would silently keep final weights
+                from tpuvae.train.checkpoint import load_checkpoint
+
+                best_ck = Path(cfg.checkpoint_dir) / "best"
+                if (best_ck / "weights.npz").exists():
+                    bp, bb, _ = load_checkpoint(
+                        best_ck, like_params=state.params,
+                        like_batch_stats=state.batch_stats,
+                    )
+                    best_snapshot = (
+                        jax.tree_util.tree_map(jnp.asarray, bp),
+                        jax.tree_util.tree_map(jnp.asarray, bb),
+                    )
             if logger is not None:
                 logger.log("resume_training", from_epoch=start_epoch)
 
@@ -244,11 +259,20 @@ def fit(
             best_epoch = epoch
             patience_counter = 0
             if cfg.restore_best:
-                # deep-copy: the live state's buffers are donated to the next
-                # epoch_call and would be invalidated under the snapshot
+                # deep-copy: safe against any later buffer aliasing/donation
                 best_snapshot = jax.tree_util.tree_map(
                     jnp.array, (state.params, state.batch_stats)
                 )
+                if cfg.checkpoint_dir:
+                    from pathlib import Path
+
+                    from tpuvae.train.checkpoint import save_checkpoint
+
+                    save_checkpoint(
+                        Path(cfg.checkpoint_dir) / "best",
+                        best_snapshot[0], best_snapshot[1],
+                        {"epoch": epoch, "monitored": monitored},
+                    )
         else:
             patience_counter += 1
 
