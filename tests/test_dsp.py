@@ -180,3 +180,25 @@ def test_power_to_db_flooring():
     out = np.asarray(power_to_db(s, ref="max"))
     assert out.max() == 0.0
     assert out.min() >= -80.0
+
+
+def test_full_length_clip_matches_reference():
+    """One full 30 s clip: frame math (1292 frames) and features at the
+    reference's real geometry (other tests use 1 s clips)."""
+    rng = np.random.default_rng(11)
+    sr = 22050
+    t = np.arange(30 * sr) / sr
+    y = (0.4 * np.sin(2 * np.pi * 220 * t) * (0.6 + 0.4 * np.sin(2 * np.pi * 2 * t))
+         + 0.05 * rng.standard_normal(len(t))).astype(np.float32)
+    from tpuvae.dsp.primitives import num_frames
+
+    assert num_frames(len(y), HOP) == 1292  # SURVEY.md: 1 + 661500 // 512
+    cfg = PreprocessConfig()
+    got = np.asarray(extract_basic_features(jnp.asarray(y[None, :]), cfg))[0]
+    want = ref.basic_feature_vector(y, sr)
+    assert got.shape == want.shape == (370,)
+    np.testing.assert_allclose(got, want, rtol=5e-2, atol=2e-1)
+    # mel image frame handling at full length: native 1292 > fixed 1024
+    acfg = AdvancedPreprocessConfig()
+    img = np.asarray(extract_mel_image(jnp.asarray(y[None, :]), acfg))
+    assert img.shape == (1, 128, 1024)
