@@ -25,7 +25,6 @@ import sys
 
 from tpuvae.config import (
     AdvancedPreprocessConfig,
-    ClusterConfig,
     ConditionalVAEConfig,
     HybridVAEConfig,
     PreprocessConfig,

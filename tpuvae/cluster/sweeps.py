@@ -22,7 +22,6 @@ import numpy as np
 
 from tpuvae.cluster.agglomerative import cut_tree, ward_linkage
 from tpuvae.cluster.dbscan import dbscan
-from tpuvae.cluster.kmeans import kmeans
 from tpuvae.metrics.internal import silhouette_from_distances
 from tpuvae.metrics.labels import compact_labels
 from tpuvae.metrics.pairwise import self_distances

@@ -10,7 +10,6 @@ and available to ``fit`` callers that pre-shard their datasets.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tpuvae.train.state import TrainState

@@ -15,7 +15,6 @@ the mesh's data axis.  Artifact and CSV contracts match the reference's.
 
 from __future__ import annotations
 
-import dataclasses
 import os
 
 import jax

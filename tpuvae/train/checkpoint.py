@@ -16,7 +16,6 @@ import json
 from pathlib import Path
 from typing import Any
 
-import jax
 import numpy as np
 from flax import serialization, traverse_util
 
