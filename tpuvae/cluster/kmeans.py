@@ -65,14 +65,14 @@ def _lloyd(x, centers, k: int, max_iter: int, tol: float):
         d2 = (
             xsq[:, None]
             + jnp.sum(centers * centers, axis=1)[None, :]
-            - 2.0 * (x @ centers.T)
+            - 2.0 * jnp.matmul(x, centers.T, precision=jax.lax.Precision.HIGHEST)
         )
         return jnp.argmin(d2, axis=1), jnp.maximum(jnp.min(d2, axis=1), 0.0)
 
     def update(labels, min_d2):
         onehot = jax.nn.one_hot(labels, k, dtype=x.dtype)
         counts = jnp.sum(onehot, axis=0)
-        sums = onehot.T @ x
+        sums = jnp.matmul(onehot.T, x, precision=jax.lax.Precision.HIGHEST)
         new = sums / jnp.maximum(counts, 1.0)[:, None]
         # re-seed each empty cluster at a DISTINCT worst-fit point (sklearn
         # relocates per empty cluster; a single shared point would leave
@@ -113,7 +113,7 @@ def _kmeans_device(x, seed, k: int, n_init: int, max_iter: int, tol_scaled):
         return (
             jnp.sum(a * a, axis=1)[:, None]
             + jnp.sum(b * b, axis=1)[None, :]
-            - 2.0 * (a @ b.T)
+            - 2.0 * jnp.matmul(a, b.T, precision=jax.lax.Precision.HIGHEST)
         ).clip(0.0)
 
     def one_init(rng):
@@ -171,7 +171,7 @@ def _kmeans_dynamic_device(x, k, seed, k_max: int, n_init: int,
         return (
             jnp.sum(a * a, axis=1)[:, None]
             + jnp.sum(b * b, axis=1)[None, :]
-            - 2.0 * (a @ b.T)
+            - 2.0 * jnp.matmul(a, b.T, precision=jax.lax.Precision.HIGHEST)
         ).clip(0.0)
 
     def init_centers(rng):
@@ -205,7 +205,7 @@ def _kmeans_dynamic_device(x, k, seed, k_max: int, n_init: int,
         d2 = (
             xsq[:, None]
             + jnp.sum(centers * centers, axis=1)[None, :]
-            - 2.0 * (x @ centers.T)
+            - 2.0 * jnp.matmul(x, centers.T, precision=jax.lax.Precision.HIGHEST)
         )
         d2 = jnp.where(valid[None, :], d2, jnp.inf)
         return jnp.argmin(d2, axis=1), jnp.maximum(jnp.min(d2, axis=1), 0.0)
@@ -214,7 +214,7 @@ def _kmeans_dynamic_device(x, k, seed, k_max: int, n_init: int,
         def update(labels, min_d2):
             onehot = jax.nn.one_hot(labels, k_max, dtype=x.dtype)
             counts = jnp.sum(onehot, axis=0)
-            sums = onehot.T @ x
+            sums = jnp.matmul(onehot.T, x, precision=jax.lax.Precision.HIGHEST)
             new = sums / jnp.maximum(counts, 1.0)[:, None]
             n_top = min(k_max, n)
             _, far_idx = jax.lax.top_k(min_d2, n_top)

@@ -25,7 +25,10 @@ class PCAResult:
 
     def transform(self, x: np.ndarray) -> np.ndarray:
         x = jnp.asarray(x, jnp.float32)
-        out = (x - jnp.asarray(self.mean)) @ jnp.asarray(self.components).T
+        out = jnp.matmul(
+            x - jnp.asarray(self.mean), jnp.asarray(self.components).T,
+            precision=jax.lax.Precision.HIGHEST,
+        )
         return np.asarray(out)
 
 
@@ -33,7 +36,7 @@ class PCAResult:
 def _centered_gram(x):
     mean = jnp.mean(x, axis=0)
     xc = x - mean
-    return mean, xc.T @ xc
+    return mean, jnp.matmul(xc.T, xc, precision=jax.lax.Precision.HIGHEST)
 
 
 def pca_fit(x, n_components: int) -> PCAResult:

@@ -204,7 +204,9 @@ def chroma_from_power(
             s_power, sr, n_fft, bins_per_octave=n_chroma
         )
     fb = chroma_filterbank(sr, n_fft, tuning, n_chroma=n_chroma)
-    raw = jnp.einsum("cf,ft->ct", fb, s_power, preferred_element_type=jnp.float32)
+    raw = jnp.einsum("cf,ft->ct", fb, s_power,
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
     return normalize_inf(raw, axis=0)
 
 

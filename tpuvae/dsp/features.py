@@ -32,7 +32,9 @@ from tpuvae.dsp.chroma import chroma_batch
 def mel_power_from_stft(s_power: jnp.ndarray, sr: int, n_fft: int, n_mels: int):
     """Mel power spectrogram ``(B, n_mels, T)`` from ``(B, n_bins, T)``."""
     fb = jnp.asarray(prim.mel_filterbank(sr, n_fft, n_mels))
-    return jnp.einsum("mf,bft->bmt", fb, s_power, preferred_element_type=jnp.float32)
+    return jnp.einsum("mf,bft->bmt", fb, s_power,
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def mel_db_ref_max(mel_power: jnp.ndarray) -> jnp.ndarray:
@@ -48,7 +50,8 @@ def mfcc_from_mel_power(mel_power: jnp.ndarray, n_mfcc: int) -> jnp.ndarray:
 
 def spectral_centroid(s_mag: jnp.ndarray, freqs: jnp.ndarray) -> jnp.ndarray:
     """(B, T) spectral centroid from magnitude spectrogram (B, n_bins, T)."""
-    num = jnp.einsum("f,bft->bt", freqs, s_mag)
+    num = jnp.einsum("f,bft->bt", freqs, s_mag,
+                     precision=jax.lax.Precision.HIGHEST)
     den = jnp.sum(s_mag, axis=1)
     return num / jnp.maximum(den, np.finfo(np.float32).tiny)
 
@@ -77,7 +80,8 @@ def spectral_rolloff(
     n_bins = s_mag.shape[1]
     tril = jnp.asarray(np.tril(np.ones((n_bins, n_bins), np.float32)))
     total = jnp.einsum("ij,bjt->bit", tril, s_mag,
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
     thresh = roll_percent * jnp.sum(s_mag, axis=1, keepdims=True)
     # lowest bin where cumulative energy crosses the threshold
     big = jnp.float32(np.finfo(np.float32).max)

@@ -75,9 +75,11 @@ def stft_power_framesharded(
         if method == "dft":
             cos_b, sin_b = prim._dft_basis(n_fft)
             re = jnp.einsum("btn,nk->btk", frames, jnp.asarray(cos_b),
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
             im = jnp.einsum("btn,nk->btk", frames, jnp.asarray(sin_b),
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
             power = re * re + im * im
         else:
             spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)
@@ -110,5 +112,6 @@ def mel_image_framesharded(
     )
     fb = jnp.asarray(prim.mel_filterbank(sr, n_fft, n_mels))
     mel = jnp.einsum("mf,bft->bmt", fb, s_power,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
     return mel, n_frames

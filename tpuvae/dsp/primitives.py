@@ -118,13 +118,17 @@ def stft_power(
     frames = frames * jnp.asarray(window)[None, None, :]
     if method == "dft":
         cos_b, sin_b = _dft_basis(n_fft)
+        # HIGHEST: TPU matmuls default to bf16 passes; the spectrum feeds
+        # dB/threshold logic where 1e-3 relative error is visible
         re = jnp.einsum(
             "btn,nk->btk", frames, jnp.asarray(cos_b),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         im = jnp.einsum(
             "btn,nk->btk", frames, jnp.asarray(sin_b),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         power = re * re + im * im
     else:
@@ -233,7 +237,9 @@ def dct_ii_ortho(x: jnp.ndarray, n_out: int, axis: int = -2) -> jnp.ndarray:
     n = x.shape[axis]
     m = jnp.asarray(_dct_ii_ortho_matrix(n)[:n_out])
     x_moved = jnp.moveaxis(x, axis, -1)
-    out = jnp.einsum("kn,...n->...k", m, x_moved, preferred_element_type=jnp.float32)
+    out = jnp.einsum("kn,...n->...k", m, x_moved,
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
     return jnp.moveaxis(out, -1, axis)
 
 

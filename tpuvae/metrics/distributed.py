@@ -52,7 +52,8 @@ def silhouette_sharded(
         d2 = (
             jnp.sum(x_blk * x_blk, axis=1)[:, None]
             + jnp.sum(x_rep[:n] * x_rep[:n], axis=1)[None, :]
-            - 2.0 * (x_blk @ x_rep[:n].T)
+            - 2.0 * jnp.matmul(x_blk, x_rep[:n].T,
+                               precision=jax.lax.Precision.HIGHEST)
         )
         d = jnp.sqrt(jnp.maximum(d2, 0.0))
         # zero self-distance for rows that refer to real points
@@ -60,7 +61,8 @@ def silhouette_sharded(
         col_ids = jnp.arange(n)
         d = jnp.where(row_ids[:, None] == col_ids[None, :], 0.0, d)
         oh = jax.nn.one_hot(l_rep[:n], n_clusters, dtype=jnp.float32)
-        sums = d @ oh                                     # (rows, k)
+        sums = jnp.matmul(d, oh,
+                          precision=jax.lax.Precision.HIGHEST)  # (rows, k)
         own = counts[l_blk]
         own_sum = jnp.take_along_axis(sums, l_blk[:, None], axis=1)[:, 0]
         a = own_sum / jnp.maximum(own - 1.0, 1.0)

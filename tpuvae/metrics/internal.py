@@ -33,7 +33,8 @@ def silhouette_from_distances(
     n = dist.shape[0]
     onehot = _one_hot(labels, n_clusters)
     counts = jnp.sum(onehot, axis=0)                      # (k,)
-    sums = dist @ onehot                                  # (N, k)
+    sums = jnp.matmul(dist, onehot,
+                      precision=jax.lax.Precision.HIGHEST)  # (N, k)
     own = counts[labels]                                  # (N,)
     own_sum = jnp.take_along_axis(sums, labels[:, None], axis=1)[:, 0]
     a = own_sum / jnp.maximum(own - 1.0, 1.0)
@@ -60,7 +61,8 @@ def davies_bouldin_score(
 ) -> jnp.ndarray:
     onehot = _one_hot(labels, n_clusters)
     counts = jnp.maximum(jnp.sum(onehot, axis=0), 1.0)
-    centroids = (onehot.T @ x) / counts[:, None]
+    centroids = jnp.matmul(onehot.T, x,
+                            precision=jax.lax.Precision.HIGHEST) / counts[:, None]
     # intra-cluster mean distance to centroid
     d_to_centroid = jnp.linalg.norm(x - centroids[labels], axis=1)
     s = (onehot.T @ d_to_centroid) / counts
@@ -80,7 +82,8 @@ def calinski_harabasz_score(
     n = x.shape[0]
     onehot = _one_hot(labels, n_clusters)
     counts = jnp.maximum(jnp.sum(onehot, axis=0), 1.0)
-    centroids = (onehot.T @ x) / counts[:, None]
+    centroids = jnp.matmul(onehot.T, x,
+                            precision=jax.lax.Precision.HIGHEST) / counts[:, None]
     mean = jnp.mean(x, axis=0)
     between = jnp.sum(counts * jnp.sum((centroids - mean) ** 2, axis=1))
     within = jnp.sum((x - centroids[labels]) ** 2)

@@ -15,10 +15,14 @@ import jax.numpy as jnp
 
 @jax.jit
 def squared_distances(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
-    """(N, D), (M, D) → (N, M) squared euclidean distances (clamped ≥ 0)."""
+    """(N, D), (M, D) → (N, M) squared euclidean distances (clamped ≥ 0).
+
+    Precision.HIGHEST: TPU matmuls default to single-pass bfloat16, which
+    flips borderline DBSCAN memberships and k-means assignments vs CPU.
+    """
     xn = jnp.sum(x * x, axis=1)
     yn = jnp.sum(y * y, axis=1)
-    cross = x @ y.T
+    cross = jnp.matmul(x, y.T, precision=jax.lax.Precision.HIGHEST)
     d2 = xn[:, None] + yn[None, :] - 2.0 * cross
     return jnp.maximum(d2, 0.0)
 

@@ -25,7 +25,8 @@ def _kernel(x_ref, y_ref, out_ref):
     x = x_ref[:]
     y = y_ref[:]
     cross = jax.lax.dot_general(
-        x, y, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        x, y, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     xn = jnp.sum(x * x, axis=1, keepdims=True)
     yn = jnp.sum(y * y, axis=1, keepdims=True)
@@ -67,6 +68,10 @@ def squared_distances_pallas(
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if not interpret:
+        # Mosaic tiling legality: last dim multiple of 128, 2nd-minor of 8
+        tile_n = max(_round_up(tile_n, 8), 8)
+        tile_m = max(_round_up(tile_m, 128), 128)
     x = jnp.asarray(x, jnp.float32)
     y = jnp.asarray(y, jnp.float32)
     n, d = x.shape
