@@ -7,3 +7,7 @@ from tpuvae.parallel.mesh import (  # noqa: F401
     pad_to_multiple,
     all_gather_latents,
 )
+from tpuvae.parallel.dp import (  # noqa: F401
+    make_dp_epoch,
+    make_dp_train_step,
+)

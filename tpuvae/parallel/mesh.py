@@ -48,6 +48,14 @@ def make_mesh(
         known = int(np.prod([s for s in shape if s != -1])) or 1
         shape[shape.index(-1)] = len(devs) // known
     n = int(np.prod(shape))
+    if len(devs) < n:
+        raise ValueError(
+            f"make_mesh: requested {n} devices (shape={tuple(shape)}), found "
+            f"{len(devs)} (backend={jax.default_backend()!r}). For a virtual "
+            f"multi-device CPU run set JAX_PLATFORMS=cpu and XLA_FLAGS="
+            f"--xla_force_host_platform_device_count={n} in a fresh "
+            f"interpreter (see _tpuvae_pytest_cpu.py)."
+        )
     grid = np.asarray(devs[:n]).reshape(shape)
     return Mesh(grid, tuple(axis_names))
 

@@ -72,16 +72,48 @@ def fit(
     cfg: FitConfig,
     val_data: Sequence[jnp.ndarray] | None = None,
     logger: RunLogger | None = None,
+    mesh=None,
+    loss_reduction: str = "mean",
 ) -> FitResult:
     """Train ``state`` with per-epoch host control flow.
 
     ``train_data``/``val_data`` are tuples of equal-length device arrays
     (already placed/sharded by the caller); batches index dim 0.
+
+    With ``mesh`` (a multi-device ``jax.sharding.Mesh`` with a 'data' axis),
+    the epoch runs as a shard_map over the mesh: each device shuffles and
+    trains on its LOCAL shard with micro-batches of ``batch_size/D``, and
+    only gradients/BN-stats cross devices (see
+    :func:`tpuvae.parallel.dp.make_dp_epoch`).  ``loss_reduction`` must then
+    name the objective's batch reduction ('mean' for Simple VAE/AE, 'sum'
+    for CVAE/Hybrid) so gradient reduction matches single-device semantics.
+    Rows beyond a multiple of D (at most D−1) are dropped with a log entry.
     """
     if cfg.monitor == "val" and val_data is None:
         raise ValueError("FitConfig.monitor='val' requires val_data")
+    dp_axis = mesh.axis_names[0] if mesh is not None else None
+    dp = mesh is not None and mesh.shape[dp_axis] > 1
     n = int(train_data[0].shape[0])
-    steps, rem = _split_batches(n, cfg.batch_size)
+    if dp:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from tpuvae.parallel.dp import make_dp_epoch
+
+        n_dev = mesh.shape[dp_axis]
+        sharding = NamedSharding(mesh, PartitionSpec(dp_axis))
+        dropped = n % n_dev
+        if dropped:
+            n -= dropped
+            if logger is not None:
+                logger.log("dp_trim", dropped_train_rows=dropped)
+        train_data = tuple(
+            jax.device_put(d[:n], sharding) for d in train_data
+        )
+        n_local = n // n_dev
+        local_bs = cfg.batch_size // max(n_dev, 1)
+        steps, rem = _split_batches(n_local, local_bs)
+    else:
+        steps, rem = _split_batches(n, cfg.batch_size)
     n_batches = steps + (1 if rem else 0)
 
     def train_step(state: TrainState, batch, rng):
@@ -99,9 +131,22 @@ def fit(
         return state, loss, aux
 
     n_train_arrays = len(train_data)
+    n_val_local = 0
     if val_data is not None:
         n_val = int(val_data[0].shape[0])
-        vsteps, vrem = _split_batches(n_val, cfg.batch_size)
+        if dp:
+            vdropped = n_val % n_dev
+            if vdropped:
+                n_val -= vdropped
+                if logger is not None:
+                    logger.log("dp_trim", dropped_val_rows=vdropped)
+            val_data = tuple(
+                jax.device_put(d[:n_val], sharding) for d in val_data
+            )
+            n_val_local = n_val // n_dev
+            vsteps, vrem = _split_batches(n_val_local, local_bs)
+        else:
+            vsteps, vrem = _split_batches(n_val, cfg.batch_size)
         val_batches = vsteps + (1 if vrem else 0)
     else:
         vsteps = vrem = 0
@@ -166,6 +211,21 @@ def fit(
         )
         return state, loss_sum, val_total
 
+    if dp:
+        from tpuvae.parallel.dp import make_dp_epoch
+
+        dp_epoch = make_dp_epoch(
+            loss_fn, mesh, batch_size=cfg.batch_size, n_local=n_local,
+            n_train_arrays=n_train_arrays,
+            n_val_arrays=len(val_data) if val_data is not None else 0,
+            n_val_local=n_val_local, loss_reduction=loss_reduction,
+            axis=dp_axis,
+        )
+
+        def epoch_call(state, perm, rng, *data):  # noqa: F811
+            # per-device shuffles are drawn inside the shard_map from rng
+            return dp_epoch(state, rng, *data)
+
     if val_data is not None:
         val_data = tuple(jnp.asarray(d) for d in val_data)
     train_data = tuple(jnp.asarray(d) for d in train_data)
@@ -221,7 +281,8 @@ def fit(
 
     for epoch in range(start_epoch, cfg.epochs):
         ep_rng = jax.random.fold_in(rng, epoch)
-        perm = jax.random.permutation(jax.random.fold_in(ep_rng, 0), n)
+        perm = (None if dp else
+                jax.random.permutation(jax.random.fold_in(ep_rng, 0), n))
         state, loss_sum, val_total = epoch_call(
             state, perm, jax.random.fold_in(ep_rng, 1), *all_data
         )
