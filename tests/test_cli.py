@@ -23,8 +23,10 @@ def test_bad_config_key_is_friendly(capsys):
     assert "no field" in capsys.readouterr().err
 
 
-def test_all_routes_data_dirs(monkeypatch):
+def test_all_routes_data_dirs(monkeypatch, tmp_path):
+    monkeypatch.chdir(tmp_path)  # no pre-existing artifacts → chaining fires
     calls = {}
+    pre_calls = []
 
     def fake(name):
         def f(data, results, *a, **k):
@@ -35,26 +37,41 @@ def test_all_routes_data_dirs(monkeypatch):
 
         return f
 
+    import tpuvae.io as io_mod
     import tpuvae.pipelines as p
 
     monkeypatch.setattr(p, "run_simple_vae", fake("simple"))
     monkeypatch.setattr(p, "run_conditional_vae", fake("cvae"))
     monkeypatch.setattr(p, "run_hybrid_vae", fake("hybrid"))
+    # 'all' chains synth-data/preprocess when artifacts are absent — stub
+    # those too and record where their outputs were routed
+    monkeypatch.setattr(p, "preprocess_basic",
+                        lambda cfg, **k: pre_calls.append(("pre", cfg.output_dir)))
+    monkeypatch.setattr(p, "preprocess_advanced",
+                        lambda cfg, **k: pre_calls.append(("adv", cfg.output_dir)))
+    monkeypatch.setattr(io_mod, "generate_dataset",
+                        lambda root, **k: pre_calls.append(("synth", root)))
     assert cli.main(["all", "--results_dir=R"]) == 0
     assert calls["simple"] == ("processed_data1", "R")
     assert calls["cvae"] == ("processed_data2", "R")
     assert calls["hybrid"] == ("processed_data2", "R")
+    assert ("pre", "processed_data1") in pre_calls
+    assert ("adv", "processed_data2") in pre_calls
 
     calls.clear()
+    pre_calls.clear()
     # --data_dir must NOT alias both dirs in 'all'
     assert cli.main(["all", "--data_dir=weird"]) == 0
     assert calls["simple"][0] == "processed_data1"
     assert calls["cvae"][0] == "processed_data2"
 
     calls.clear()
+    pre_calls.clear()
     assert cli.main(["all", "--data1_dir=D1", "--data2_dir=D2"]) == 0
     assert calls["simple"][0] == "D1"
     assert calls["hybrid"][0] == "D2"
+    assert ("pre", "D1") in pre_calls
+    assert ("adv", "D2") in pre_calls
 
 
 def test_single_pipeline_data_dir(monkeypatch):

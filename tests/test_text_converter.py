@@ -117,3 +117,28 @@ def test_converted_weights_reproduce_torch_outputs():
     fmodel = SentenceEncoder(CFG)
     got = np.asarray(fmodel.apply(variables, jnp.asarray(ids), jnp.asarray(mask)))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_embed_lyrics_reports_backend_and_rejects_bad_checkpoint():
+    import numpy as np
+    import pytest
+
+    from tpuvae.text import embed_lyrics
+
+    emb, backend = embed_lyrics(["hello world", None, ""])
+    assert backend == "hashed-ngram"
+    assert emb.shape[0] == 3 and np.isfinite(emb).all()
+    # an explicitly requested checkpoint that is missing must raise,
+    # never silently fall back to non-semantic embeddings
+    with pytest.raises(FileNotFoundError):
+        embed_lyrics(["x"], checkpoint="/nonexistent/ckpt-dir")
+
+
+def test_embed_lyrics_env_checkpoint_missing_raises(monkeypatch):
+    import pytest
+
+    from tpuvae.text import embed_lyrics
+
+    monkeypatch.setenv("TPUVAE_TEXT_CHECKPOINT", "/nonexistent/ckpt-dir")
+    with pytest.raises(FileNotFoundError):
+        embed_lyrics(["x"])

@@ -104,6 +104,7 @@ def _dispatch(argv) -> int:
         return 0
 
     if cmd in ("train-simple", "train-cvae", "train-hybrid", "all"):
+        from pathlib import Path
         # --data_dir applies to the single pipeline being trained;
         # use --data1_dir/--data2_dir to direct them separately (e.g. 'all')
         data1 = extras.get("data1_dir") or extras.get("data_dir", "processed_data1")
@@ -126,13 +127,42 @@ def _dispatch(argv) -> int:
 
         if cmd == "all" and cfg_args:
             known: set = set()
-            for cls in (SimpleVAEConfig, ConditionalVAEConfig, HybridVAEConfig):
+            for cls in (SimpleVAEConfig, ConditionalVAEConfig, HybridVAEConfig,
+                        PreprocessConfig, AdvancedPreprocessConfig):
                 known |= set(cls().to_dict())
             unknown = sorted(
                 {a.lstrip("-").split("=", 1)[0] for a in cfg_args} - known
             )
             if unknown:
-                raise KeyError(f"no training config has field(s) {unknown}")
+                raise KeyError(f"no stage config has field(s) {unknown}")
+
+        if cmd == "all":
+            # true end-to-end: chain synth-data → preprocess →
+            # preprocess-advanced when their outputs are absent (the
+            # reference's 5-script workflow, README.md:56-87); existing
+            # artifact dirs are reused untouched.
+            pre_cfg = build_cfg(PreprocessConfig)
+            adv_cfg = build_cfg(AdvancedPreprocessConfig)
+            pre_cfg = type(pre_cfg)(**{**pre_cfg.to_dict(), "output_dir": data1})
+            adv_cfg = type(adv_cfg)(**{**adv_cfg.to_dict(), "output_dir": data2})
+            need_pre = not Path(data1, "features_normalized.npy").exists()
+            need_adv = not Path(data2, "mel_spectrograms_normalized.npy").exists()
+            if (need_pre or need_adv) and not Path(pre_cfg.dataset_root).exists():
+                from tpuvae.io import generate_dataset
+
+                print(f"no dataset at {pre_cfg.dataset_root}; generating "
+                      f"synthetic clips")
+                generate_dataset(pre_cfg.dataset_root)
+            if need_pre:
+                from tpuvae.pipelines import preprocess_basic
+
+                print(f"preprocess → {data1}")
+                preprocess_basic(pre_cfg)
+            if need_adv:
+                from tpuvae.pipelines import preprocess_advanced
+
+                print(f"preprocess-advanced → {data2}")
+                preprocess_advanced(adv_cfg)
 
         if cmd in ("train-simple", "all"):
             from tpuvae.pipelines import run_simple_vae

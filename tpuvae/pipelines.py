@@ -68,7 +68,7 @@ from tpuvae.models import (
     SimpleVAE,
 )
 from tpuvae.parallel import MeshContext, batch_sharding
-from tpuvae.text import create_lyrics_embeddings
+from tpuvae.text import embed_lyrics
 from tpuvae.train import (
     FitConfig,
     autoencoder_objective,
@@ -284,9 +284,10 @@ def preprocess_advanced(
         )
     labels = np.array([e.genre for e in ok])
     with timer.stage("lyrics_embeddings", items=len(ok)):
-        embeddings = create_lyrics_embeddings(
+        embeddings, embedder_backend = embed_lyrics(
             [e.lyrics for e in ok], checkpoint=text_checkpoint
         )
+    logger.log("lyrics_embedder", backend=embedder_backend)
     assert len(mels) == len(embeddings), "Mismatch between audio and lyrics samples!"
     with timer.stage("normalize"):
         mel_norm, mel_scaler = normalize_mel_images(mels)
@@ -298,7 +299,9 @@ def preprocess_advanced(
         lyrics_embeddings=embeddings, labels=labels,
         metadata=_metadata_frame(ok, labels),
         mel_scaler=mel_scaler, flat_scaler=flat_scaler, imputer=imputer,
-        config=cfg,
+        # record WHICH embedder produced lyrics_embeddings.npy so downstream
+        # results are attributable (hashed-ngram fallback ≠ sentence encoder)
+        config={**cfg.to_dict(), "lyrics_embedder_backend": embedder_backend},
     )
     if manifest is not None:
         manifest.cleanup()
@@ -328,6 +331,19 @@ def evaluate_clustering(latents, y_true_codes, n_true: int,
     }
 
 
+def _fit_mesh(mesh: MeshContext | None, batch_size: int, logger=None):
+    """The jax Mesh to hand to fit() — engages the shard_map DP epoch when
+    multiple devices exist and the batch divides across them."""
+    if mesh is None or mesh.n_devices <= 1:
+        return None
+    if batch_size % mesh.n_devices:
+        if logger is not None:
+            logger.log("dp_disabled", reason="batch_size % n_devices != 0",
+                       batch_size=batch_size, n_devices=mesh.n_devices)
+        return None
+    return mesh.mesh
+
+
 def _batched_latents(apply_latent, arrays, batch_size: int = 32) -> np.ndarray:
     """Whole-dataset encoder-mean extraction, re-batched to bound memory
     (the reference encodes all N hi-res mels in ONE tensor,
@@ -355,6 +371,7 @@ def run_simple_vae(
     ccfg: ClusterConfig = ClusterConfig(),
     logger: RunLogger | None = None,
     make_plots: bool = True,
+    mesh: MeshContext | None = None,
 ) -> pd.DataFrame:
     logger = logger or RunLogger()
     data = load_basic(data_dir)
@@ -374,7 +391,8 @@ def run_simple_vae(
         seed=cfg.seed,
     )
     res = fit(state, simple_vae_objective(cfg.beta), (features,), fit_cfg,
-              logger=logger)
+              logger=logger, mesh=_fit_mesh(mesh, cfg.batch_size, logger),
+              loss_reduction="mean")
     save_checkpoint(f"{results_dir}/Simple_VAE/best_vae_model",
                     res.state.params, res.state.batch_stats,
                     {"best_epoch": res.best_epoch})
@@ -435,6 +453,7 @@ def run_conditional_vae(
     ccfg: ClusterConfig = ClusterConfig(),
     logger: RunLogger | None = None,
     make_plots: bool = True,
+    mesh: MeshContext | None = None,
 ) -> pd.DataFrame:
     logger = logger or RunLogger()
     data = load_advanced(data_dir)
@@ -468,6 +487,7 @@ def run_conditional_vae(
         state, cvae_objective(cfg.beta, cfg.text_loss_weight),
         (mel[tr], text[tr], cond[tr]), fit_cfg,
         val_data=(mel[va], text[va], cond[va]), logger=logger,
+        mesh=_fit_mesh(mesh, cfg.batch_size, logger), loss_reduction="sum",
     )
 
     variables = {"params": res.state.params, "batch_stats": res.state.batch_stats}
@@ -545,6 +565,7 @@ def run_hybrid_vae(
     ccfg: ClusterConfig = ClusterConfig(),
     logger: RunLogger | None = None,
     make_plots: bool = True,
+    mesh: MeshContext | None = None,
 ) -> pd.DataFrame:
     logger = logger or RunLogger()
     data = load_advanced(data_dir)
@@ -574,6 +595,7 @@ def run_hybrid_vae(
         state, hybrid_objective(cfg.beta, cfg.text_loss_weight),
         (mel[tr], text[tr]), fit_cfg,
         val_data=(mel[va], text[va]), logger=logger,
+        mesh=_fit_mesh(mesh, cfg.batch_size, logger), loss_reduction="sum",
     )
     if make_plots:
         loss_curve(res.history["train_loss"],
@@ -584,12 +606,13 @@ def run_hybrid_vae(
         lambda a, t: model.apply(variables, a, t, method=HybridVAE.latent),
         (mel, text), cfg.batch_size,
     )
-    if make_plots:
-        from pathlib import Path
+    # contract artifact — the reference saves it on EVERY run
+    # (Convolutional_VAE.py:303), so it must not be gated on plotting
+    from pathlib import Path
 
-        out = Path(results_dir) / "Convolutional_VAE"
-        out.mkdir(parents=True, exist_ok=True)
-        np.save(out / "hybrid_latent_features.npy", latents)
+    out = Path(results_dir) / "Convolutional_VAE"
+    out.mkdir(parents=True, exist_ok=True)
+    np.save(out / "hybrid_latent_features.npy", latents)
     logger.log("latents", shape=list(latents.shape))
 
     k_range = range(ccfg.hybrid_k_min, ccfg.hybrid_k_max + 1)

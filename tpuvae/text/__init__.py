@@ -4,4 +4,7 @@ from tpuvae.text.encoder import (  # noqa: F401
     SentenceEncoder,
     convert_hf_state_dict,
 )
-from tpuvae.text.embedder import create_lyrics_embeddings  # noqa: F401
+from tpuvae.text.embedder import (  # noqa: F401
+    create_lyrics_embeddings,
+    embed_lyrics,
+)
