@@ -208,3 +208,36 @@ def test_nmi_trivial_partitions_match_sklearn():
     one = normalized_mutual_info(jnp.zeros(4, jnp.int32),
                                  jnp.asarray([0, 1, 0, 1]), 1, 2)
     assert float(one) == skm.normalized_mutual_info_score([0]*4, [0,1,0,1]) == 0.0
+
+
+def test_dbscan_chain_cluster_matches_sklearn():
+    """Chain-shaped cluster: the O(graph-diameter) propagation stress case
+    that motivated pointer jumping — labels must still match sklearn."""
+    rng = np.random.default_rng(0)
+    blob = lambda c, n: rng.normal(c, 0.3, (n, 2))  # noqa: E731
+    chain = (np.stack([np.linspace(0, 50, 400), np.zeros(400)], 1)
+             + rng.normal(0, 0.05, (400, 2)))
+    x = np.concatenate([
+        blob((10, 10), 120), blob((-10, 10), 120), chain
+    ]).astype(np.float32)
+    mine = dbscan(x, eps=0.5, min_samples=5)
+    sk = SkDBSCAN(eps=0.5, min_samples=5).fit(x).labels_
+    np.testing.assert_array_equal(mine == -1, sk == -1)
+    assert skm.adjusted_rand_score(sk, mine) == 1.0
+
+
+def test_scale_10k_dbscan_and_silhouette():
+    """10k-point synthetic sweep step completes within memory on one device
+    (the O(N²) scale-out story past reference N=1336)."""
+    rng = np.random.default_rng(1)
+    n, k_true = 10_240, 8
+    centers = rng.normal(0, 20, (k_true, 16))
+    assign = rng.integers(0, k_true, n)
+    x = (centers[assign] + rng.normal(0, 1.0, (n, 16))).astype(np.float32)
+    lab = dbscan(x, eps=4.0, min_samples=5)
+    assert len(set(lab.tolist()) - {-1}) == k_true
+    assert skm.adjusted_rand_score(assign, lab) > 0.97
+    cl, k = compact_labels(lab)
+    d = self_distances(jnp.asarray(x))
+    s = float(silhouette_from_distances(d, jnp.asarray(cl), k))
+    assert 0.8 < s <= 1.0

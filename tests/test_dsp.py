@@ -136,7 +136,7 @@ def test_tuning_estimation(audio_batch):
 
 def test_extract_basic_features_end_to_end(audio_batch):
     y, sr = audio_batch
-    cfg = PreprocessConfig()
+    cfg = PreprocessConfig(precision_mode="exact")
     got = np.asarray(extract_basic_features(jnp.asarray(y), cfg))
     assert got.shape == (y.shape[0], 370)
     for i in range(y.shape[0]):
@@ -193,7 +193,7 @@ def test_full_length_clip_matches_reference():
     from tpuvae.dsp.primitives import num_frames
 
     assert num_frames(len(y), HOP) == 1292  # SURVEY.md: 1 + 661500 // 512
-    cfg = PreprocessConfig()
+    cfg = PreprocessConfig(precision_mode="exact")
     got = np.asarray(extract_basic_features(jnp.asarray(y[None, :]), cfg))[0]
     want = ref.basic_feature_vector(y, sr)
     assert got.shape == want.shape == (370,)
@@ -202,3 +202,25 @@ def test_full_length_clip_matches_reference():
     acfg = AdvancedPreprocessConfig()
     img = np.asarray(extract_mel_image(jnp.asarray(y[None, :]), acfg))
     assert img.shape == (1, 128, 1024)
+
+
+def test_fast_mode_close_to_exact(audio_batch):
+    """The default 'fast' numerics (bf16 matmul passes + Pallas STFT on TPU)
+    must track the 'exact' fp32 features within a production-usable bound.
+
+    This is the accuracy contract behind PreprocessConfig.precision_mode —
+    on CPU both modes use fp32 (the bound is trivial there); the TPU suite
+    run (TPUVAE_TEST_TPU=1) exercises the real bf16/Pallas deltas.
+    """
+    y, sr = audio_batch
+    exact = np.asarray(
+        extract_basic_features(jnp.asarray(y),
+                               PreprocessConfig(precision_mode="exact"))
+    )
+    fast = np.asarray(
+        extract_basic_features(jnp.asarray(y),
+                               PreprocessConfig(precision_mode="fast"))
+    )
+    assert fast.shape == exact.shape
+    # dB-domain means span ~[-80, 0]; spectral stats span ~[0, 5000] Hz
+    np.testing.assert_allclose(fast, exact, rtol=2e-2, atol=1.0)

@@ -1,10 +1,14 @@
-"""On-device DBSCAN via iterative min-label propagation.
+"""On-device DBSCAN via min-label propagation with pointer jumping.
 
 Replaces sklearn's DBSCAN (C24; ``Convolutional_VAE.py:347-374``).  The whole
 algorithm is fixed-shape JAX: neighbor mask from the pairwise distance
 matrix, core mask by neighbor count, connected components of the core-core
 graph by min-label propagation (a while_loop of masked (N,N) min-reductions,
-each one a VPU-friendly dense op), then border-point attachment.
+each one a VPU-friendly dense op) interleaved with pointer-jumping path
+compression (``label ← label[label]``, ⌈log₂N⌉ cheap N-gathers), so the
+outer dense loop converges in O(log N) rounds instead of O(graph diameter)
+— chain-shaped clusters at scale would otherwise need thousands of (N,N)
+passes.  Border-point attachment follows.
 
 Label semantics match sklearn: noise = −1; clusters numbered by the smallest
 core-point index they contain (sklearn scans points in order, so the first
@@ -38,15 +42,27 @@ def _dbscan_device(x, eps, min_samples: int):
     inf = jnp.int32(n)
     labels = jnp.where(core, jnp.arange(n, dtype=jnp.int32), inf)
 
+    n_jumps = max(int(np.ceil(np.log2(max(n, 2)))), 1)
+
     def cond(state):
         labels, changed = state
         return changed
 
     def step(state):
         labels, _ = state
-        # min label among core neighbors (dense masked min)
+        # hook: min label among core neighbors (dense masked min)
         neigh_lab = jnp.where(core_adj, labels[None, :], inf)
         new = jnp.minimum(labels, jnp.min(neigh_lab, axis=1))
+
+        # compress: label ← min(label, label[label]) until the pointer
+        # chain is flat.  Labels are core-point indices, monotonically
+        # decreasing toward the component's min index, so following the
+        # chain halves its length each gather.
+        def jump(_, lab):
+            follow = jnp.take(lab, jnp.minimum(lab, n - 1))
+            return jnp.where(lab < inf, jnp.minimum(lab, follow), lab)
+
+        new = jax.lax.fori_loop(0, n_jumps, jump, new)
         return new, jnp.any(new != labels)
 
     labels, _ = jax.lax.while_loop(cond, step, (labels, jnp.bool_(True)))

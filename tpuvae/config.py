@@ -86,6 +86,11 @@ class PreprocessConfig(_ConfigBase):
     metadata_csv: str = "Datasets/updated_metadata.csv"
     output_dir: str = "processed_data1"
     extract_batch: int = 32  # clips per device batch during extraction
+    # 'fast' runs DSP matmuls at the TPU-native bf16 pass + Pallas STFT
+    # (~1e-3 relative feature error, bounded by tests/test_dsp.py);
+    # 'exact' pins fp32-accurate matmuls everywhere for strict parity work.
+    precision_mode: str = "fast"
+    stft_method: str = "auto"  # 'auto' | 'fft' | 'dft' | 'pallas'
 
     @property
     def num_samples(self) -> int:
@@ -118,6 +123,8 @@ class AdvancedPreprocessConfig(_ConfigBase):
     text_model: str = "sentence-transformers/paraphrase-multilingual-mpnet-base-v2"
     text_dim: int = 768
     extract_batch: int = 16
+    precision_mode: str = "fast"   # see PreprocessConfig.precision_mode
+    stft_method: str = "auto"
 
     @property
     def num_samples(self) -> int:

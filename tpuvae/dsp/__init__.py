@@ -9,6 +9,7 @@ from tpuvae.dsp.primitives import (  # noqa: F401
     dct_ii_ortho,
 )
 from tpuvae.dsp.features import (  # noqa: F401
+    resolve_numerics,
     mel_power_from_stft,
     mel_db_ref_max,
     mfcc_from_mel_power,

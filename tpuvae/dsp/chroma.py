@@ -193,6 +193,7 @@ def chroma_from_power(
     n_fft: int,
     n_chroma: int = 12,
     tuning=None,
+    precision=None,
 ) -> jnp.ndarray:
     """librosa.feature.chroma_stft for one clip ``(n_bins, n_frames)``.
 
@@ -206,14 +207,16 @@ def chroma_from_power(
     fb = chroma_filterbank(sr, n_fft, tuning, n_chroma=n_chroma)
     raw = jnp.einsum("cf,ft->ct", fb, s_power,
                      preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)
+                     precision=precision or jax.lax.Precision.HIGHEST)
     return normalize_inf(raw, axis=0)
 
 
 def chroma_batch(
-    s_power: jnp.ndarray, sr: int, n_fft: int, n_chroma: int = 12, tuning=None
+    s_power: jnp.ndarray, sr: int, n_fft: int, n_chroma: int = 12, tuning=None,
+    precision=None,
 ) -> jnp.ndarray:
     """Batched chroma ``(B, n_bins, T) → (B, n_chroma, T)`` via vmap."""
     return jax.vmap(
-        lambda s: chroma_from_power(s, sr, n_fft, n_chroma=n_chroma, tuning=tuning)
+        lambda s: chroma_from_power(s, sr, n_fft, n_chroma=n_chroma,
+                                    tuning=tuning, precision=precision)
     )(s_power)

@@ -95,6 +95,7 @@ def stft_power(
     window: np.ndarray | None = None,
     pad_mode: str = "constant",
     method: str = "auto",
+    precision: jax.lax.Precision | None = None,
 ) -> jnp.ndarray:
     """Power spectrogram ``|STFT|^2`` of shape ``(B, n_fft//2+1, n_frames)``.
 
@@ -105,7 +106,13 @@ def stft_power(
     fp noise ~1e-3 relative (use 'dft' for strict parity work).  ``'auto'``
     picks 'dft' on TPU (XLA exposes no FFT lowering on this backend) and
     'fft' elsewhere.
+
+    ``precision=None`` defaults to HIGHEST (fp32-accurate): TPU matmuls
+    default to single-pass bf16 and the spectrum feeds dB/threshold logic
+    where 1e-3 relative error is visible.  Pass DEFAULT for the fast mode.
     """
+    if precision is None:
+        precision = jax.lax.Precision.HIGHEST
     if method == "auto":
         method = "dft" if jax.default_backend() not in ("cpu", "gpu") else "fft"
     if method == "pallas":
@@ -118,17 +125,15 @@ def stft_power(
     frames = frames * jnp.asarray(window)[None, None, :]
     if method == "dft":
         cos_b, sin_b = _dft_basis(n_fft)
-        # HIGHEST: TPU matmuls default to bf16 passes; the spectrum feeds
-        # dB/threshold logic where 1e-3 relative error is visible
         re = jnp.einsum(
             "btn,nk->btk", frames, jnp.asarray(cos_b),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=precision,
         )
         im = jnp.einsum(
             "btn,nk->btk", frames, jnp.asarray(sin_b),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=precision,
         )
         power = re * re + im * im
     else:
@@ -228,7 +233,10 @@ def _dct_ii_ortho_matrix(n: int) -> np.ndarray:
     return m.astype(np.float32)
 
 
-def dct_ii_ortho(x: jnp.ndarray, n_out: int, axis: int = -2) -> jnp.ndarray:
+def dct_ii_ortho(
+    x: jnp.ndarray, n_out: int, axis: int = -2,
+    precision: jax.lax.Precision | None = None,
+) -> jnp.ndarray:
     """DCT-II (ortho) along ``axis``, keeping the first ``n_out`` coefficients.
 
     Implemented as a dense matmul so it runs on the MXU (scipy's FFT-based
@@ -239,7 +247,7 @@ def dct_ii_ortho(x: jnp.ndarray, n_out: int, axis: int = -2) -> jnp.ndarray:
     x_moved = jnp.moveaxis(x, axis, -1)
     out = jnp.einsum("kn,...n->...k", m, x_moved,
                      preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)
+                     precision=precision or jax.lax.Precision.HIGHEST)
     return jnp.moveaxis(out, -1, axis)
 
 

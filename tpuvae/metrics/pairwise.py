@@ -32,7 +32,21 @@ def distances(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     return jnp.sqrt(squared_distances(x, y))
 
 
+# Above this N the tiled Pallas kernel (tpuvae.ops.pairwise) takes over on
+# TPU: it keeps row blocks VMEM-resident and fuses the rank-1 norm update,
+# avoiding the einsum path's full (N, N) cross-term + second elementwise pass
+# over HBM.  At reference N≈1336 both are sub-ms and the einsum path wins on
+# simplicity; the kernel is for the scale-out regime (see bench.py, which
+# measures both at N∈{1336, 10240} and records the chosen path).
+PALLAS_SELF_DIST_MIN_N = 4096
+
+
 def self_distances(x: jnp.ndarray) -> jnp.ndarray:
     """(N, N) euclidean distances with an exactly-zero diagonal."""
+    n = x.shape[0]
+    if jax.default_backend() == "tpu" and n >= PALLAS_SELF_DIST_MIN_N:
+        from tpuvae.ops.pairwise import self_distances_pallas
+
+        return self_distances_pallas(x)
     d = distances(x, x)
-    return d * (1.0 - jnp.eye(d.shape[0], dtype=d.dtype))
+    return d * (1.0 - jnp.eye(n, dtype=d.dtype))
