@@ -86,10 +86,12 @@ class PreprocessConfig(_ConfigBase):
     metadata_csv: str = "Datasets/updated_metadata.csv"
     output_dir: str = "processed_data1"
     extract_batch: int = 32  # clips per device batch during extraction
-    # 'fast' runs DSP matmuls at the TPU-native bf16 pass + Pallas STFT
-    # (~1e-3 relative feature error, bounded by tests/test_dsp.py);
-    # 'exact' pins fp32-accurate matmuls everywhere for strict parity work.
+    # 'fast' runs DSP matmuls at the TPU-native bf16 pass (~25% faster
+    # extraction; feature error bounded by tests/test_dsp.py); 'exact'
+    # pins fp32-accurate matmuls everywhere for strict parity work.
     precision_mode: str = "fast"
+    # 'pallas' = fused framing+window+DFT kernel that keeps the (B, frames,
+    # n_fft) tensor out of HBM — opt-in for memory-constrained batches
     stft_method: str = "auto"  # 'auto' | 'fft' | 'dft' | 'pallas'
 
     @property

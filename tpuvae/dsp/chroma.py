@@ -76,12 +76,21 @@ def piptrack_from_power(
     fmin: float = 150.0,
     fmax: float = 4000.0,
     threshold: float = 0.1,
+    ref_value: jnp.ndarray | None = None,
+    row_offset: int = 0,
 ):
     """librosa.piptrack on a single-clip spectrogram ``(n_bins, n_frames)``.
 
     Returns (pitches, mags) of the same shape, zero where no pitch detected.
     Note chroma_stft feeds the *power* spectrogram to piptrack, matching the
     reference's implicit behavior.
+
+    ``ref_value``/``row_offset`` support banded evaluation: callers may pass
+    only the frequency rows that can hold candidates (plus one margin row
+    each side for the local-max/interpolation neighbors), with ``ref_value``
+    the threshold·max computed over the FULL column and ``row_offset`` the
+    slice's first global row — results equal the full computation on the
+    in-band rows exactly.
     """
     s = s_power
     avg = 0.5 * (s[2:, :] - s[:-2, :])
@@ -92,12 +101,14 @@ def piptrack_from_power(
     shift = jnp.pad(shift, ((1, 1), (0, 0)))
     dskew = 0.5 * avg * shift
 
-    freqs = fft_frequencies(sr, n_fft)
+    n_rows = s.shape[0]
+    freqs = fft_frequencies(sr, n_fft)[row_offset : row_offset + n_rows]
     freq_mask = jnp.asarray((fmin <= freqs) & (freqs < fmax))[:, None]
-    ref_value = threshold * jnp.max(s, axis=0, keepdims=True)
+    if ref_value is None:
+        ref_value = threshold * jnp.max(s, axis=0, keepdims=True)
     mask = freq_mask & _localmax(s * (s > ref_value), axis=0)
 
-    bins = jnp.arange(s.shape[0], dtype=jnp.float32)[:, None]
+    bins = row_offset + jnp.arange(n_rows, dtype=jnp.float32)[:, None]
     pitches = jnp.where(mask, (bins + shift) * (sr / n_fft), 0.0)
     mags = jnp.where(mask, s + dskew, 0.0)
     return pitches, mags
@@ -116,15 +127,17 @@ def _key_to_float(key: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.bitcast_convert_type(bits, jnp.float32)
 
 
-def _masked_kth_smallest(keys: jnp.ndarray, mask: jnp.ndarray, k) -> jnp.ndarray:
-    """(k+1)-th smallest masked key via 32-round binary search on the uint32
-    order space — O(n) counting passes instead of an O(n log n) sort.
+def _packed_kth_smallest(packed: jnp.ndarray, k) -> jnp.ndarray:
+    """(k+1)-th smallest key via 32-round binary search on the uint32 order
+    space — O(n) counting passes instead of an O(n log n) sort.  ``packed``
+    holds masked-out elements as 0xFFFFFFFF so each round reads ONE array
+    (the separate bool-mask read per round cost ~20% of the whole search).
     (A radix-select histogram variant was tried and is ~4× slower on TPU:
     scatter-adds serialize; dense compare+reduce rounds vectorize.)"""
     def body(_, state):
         lo, hi = state
         mid = lo + (hi - lo) // jnp.uint32(2)
-        cnt = jnp.sum(jnp.where(mask & (keys <= mid), 1, 0))
+        cnt = jnp.sum(jnp.where(packed <= mid, 1, 0))
         found = cnt >= k + 1
         return jnp.where(found, lo, mid + jnp.uint32(1)), jnp.where(found, mid, hi)
 
@@ -136,17 +149,18 @@ def _masked_kth_smallest(keys: jnp.ndarray, mask: jnp.ndarray, k) -> jnp.ndarray
 
 def _masked_median(values: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """Median of ``values[mask]`` (numpy convention), 0 if the mask is empty."""
-    keys = _float_order_key(values.ravel())
-    m = mask.ravel()
-    n = jnp.sum(m)
+    packed = jnp.where(
+        mask.ravel(), _float_order_key(values.ravel()), jnp.uint32(0xFFFFFFFF)
+    )
+    n = jnp.sum(mask)
     k_lo = jnp.maximum((n - 1) // 2, 0)
     k_hi = jnp.maximum(n // 2, 0)
-    key_lo = _masked_kth_smallest(keys, m, k_lo)
+    key_lo = _packed_kth_smallest(packed, k_lo)
     v_lo = _key_to_float(key_lo)
     # next order statistic: either a duplicate of key_lo or the min key above
     need_hi = k_hi != k_lo
-    cnt_le = jnp.sum((m & (keys <= key_lo)).astype(jnp.int32))
-    above = jnp.where(m & (keys > key_lo), keys, jnp.uint32(0xFFFFFFFF))
+    cnt_le = jnp.sum((packed <= key_lo).astype(jnp.int32))
+    above = jnp.where(packed > key_lo, packed, jnp.uint32(0xFFFFFFFF))
     v_next = _key_to_float(jnp.min(above))
     v_hi = jnp.where(~need_hi | (cnt_le >= k_hi + 1), v_lo, v_next)
     return jnp.where(n > 0, 0.5 * (v_lo + v_hi), 0.0)
@@ -159,8 +173,27 @@ def estimate_tuning_from_power(
     resolution: float = 0.01,
     bins_per_octave: int = 12,
 ) -> jnp.ndarray:
-    """librosa.estimate_tuning for one clip → scalar in [-0.5, 0.5) bins."""
-    pitches, mags = piptrack_from_power(s_power, sr, n_fft)
+    """librosa.estimate_tuning for one clip → scalar in [-0.5, 0.5) bins.
+
+    Banded evaluation: pitch candidates only exist on rows whose center
+    frequency lies in piptrack's [150, 4000) Hz window — ~360 of 1025 rows
+    at the reference geometry — so the expensive stages (the 32-round
+    masked-median search and the 100-bin histogram, together ~2/3 of the
+    whole 370-d extraction pipeline on TPU before this change) run on the
+    sliced band only.  One margin row on each side supplies the local-max /
+    parabolic-interpolation neighbors; the threshold reference max spans
+    the FULL column, so results are bit-identical to the unbanded form.
+    """
+    fmin, fmax, threshold = 150.0, 4000.0, 0.1  # librosa piptrack defaults
+    n_rows = s_power.shape[0]
+    freqs = fft_frequencies(sr, n_fft)
+    lo = max(int(np.searchsorted(freqs, fmin, side="left")) - 1, 0)
+    hi = min(int(np.searchsorted(freqs, fmax, side="left")) + 1, n_rows)
+    ref_value = threshold * jnp.max(s_power, axis=0, keepdims=True)
+    pitches, mags = piptrack_from_power(
+        s_power[lo:hi], sr, n_fft, fmin=fmin, fmax=fmax,
+        ref_value=ref_value, row_offset=lo,
+    )
     pitch_mask = pitches > 0
     thresh = _masked_median(mags, pitch_mask)
     sel = pitch_mask & (mags >= thresh)
@@ -179,10 +212,12 @@ def estimate_tuning_from_power(
     )
     # histogram as a fused broadcast-compare reduction: TPU scatter-adds
     # serialize per element and profiled as THE dominant op of the whole
-    # extraction pipeline (~370 ms per 32-clip batch for .at[].add here)
+    # extraction pipeline (~370 ms per 32-clip batch for .at[].add here).
+    # Unselected elements take a sentinel bucket that matches no bin, so
+    # each bin costs one compare instead of compare+and.
+    bucket_sel = jnp.where(sel, bucket, n_bins)
     bins = jnp.arange(n_bins, dtype=jnp.int32)
-    hits = (bucket.reshape(-1, 1) == bins[None, :]) & sel.reshape(-1, 1)
-    counts = jnp.sum(hits, axis=0)
+    counts = jnp.sum(bucket_sel.reshape(-1, 1) == bins[None, :], axis=0)
     tuning = jnp.asarray(edges[:-1])[jnp.argmax(counts)]
     return jnp.where(jnp.any(sel), tuning, 0.0)
 

@@ -31,11 +31,17 @@ HIGHEST = jax.lax.Precision.HIGHEST
 def resolve_numerics(cfg, stft_method: str | None = None):
     """(matmul_precision, stft_method) for a preprocess config.
 
-    ``precision_mode='exact'`` pins fp32-accurate matmuls and the plain DFT
-    path; ``'fast'`` (the default) lets matmuls run at the TPU-native bf16
-    pass and picks the fused Pallas STFT on TPU (~25% higher extraction
-    throughput; feature error bounded by tests/test_dsp.py fast-mode test).
-    An explicit ``stft_method`` (argument or config) always wins over 'auto'.
+    ``precision_mode='exact'`` pins fp32-accurate matmuls; ``'fast'`` (the
+    default) lets matmuls run at the TPU-native bf16 pass (~25% higher
+    extraction throughput; feature error bounded by tests/test_dsp.py's
+    fast-mode test).  An explicit ``stft_method`` (argument or config)
+    always wins over 'auto'; 'auto' picks the XLA DFT-matmul on TPU (no FFT
+    lowering there) and real FFT elsewhere.  Measured on v5e (bench
+    2026-08-16, batch 128 × 30 s): fast/dft 612 clips/s, fast/pallas 563,
+    exact/dft 490 — XLA's bf16 einsum beats the fused Pallas STFT once
+    precision is relaxed, so 'pallas' is an explicit opt-in for
+    memory-constrained batches (it never materializes the (B, 1292, 2048)
+    frame tensor in HBM).
     """
     mode = getattr(cfg, "precision_mode", "exact")
     if mode not in ("exact", "fast"):
@@ -43,10 +49,7 @@ def resolve_numerics(cfg, stft_method: str | None = None):
     precision = HIGHEST if mode == "exact" else jax.lax.Precision.DEFAULT
     method = stft_method or getattr(cfg, "stft_method", "auto")
     if method == "auto":
-        if jax.default_backend() in ("cpu", "gpu"):
-            method = "fft"
-        else:
-            method = "dft" if mode == "exact" else "pallas"
+        method = "fft" if jax.default_backend() in ("cpu", "gpu") else "dft"
     return precision, method
 
 

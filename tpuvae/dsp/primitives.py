@@ -102,8 +102,10 @@ def stft_power(
     ``method='fft'`` uses XLA's FFT; ``method='dft'`` evaluates the real DFT
     as two dense matmuls against a cos/sin basis so the work lands on the TPU
     MXU.  ``'pallas'`` uses the fused framing+window+DFT Pallas kernel
-    (``tpuvae.ops.stft``) — ~1.25× faster than 'dft' on TPU, with MXU-pass
-    fp noise ~1e-3 relative (use 'dft' for strict parity work).  ``'auto'``
+    (``tpuvae.ops.stft``) — it streams frames through VMEM without ever
+    materializing the (B, n_frames, n_fft) tensor in HBM (1.35 GB at
+    B=128×30 s), and is 1.25× faster than fp32-pinned 'dft' but ~9% slower
+    than bf16 'dft' (v5e measurements in ``resolve_numerics``).  ``'auto'``
     picks 'dft' on TPU (XLA exposes no FFT lowering on this backend) and
     'fft' elsewhere.
 
