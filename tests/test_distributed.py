@@ -5,6 +5,13 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 8,
+    reason="needs the 8-virtual-device CPU mesh harness "
+           "(single-chip TPU run: sharding is covered by the driver's "
+           "dryrun_multichip, which self-bootstraps a CPU mesh)",
+)
+
 from tpuvae.parallel import (
     MeshContext,
     all_gather_latents,

@@ -1,6 +1,7 @@
 """Spectral clustering vs sklearn + frame-sharded STFT vs single-device."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -35,6 +36,8 @@ def test_spectral_embedding_shape_and_determinism():
     np.testing.assert_array_equal(e1, e2)
 
 
+@pytest.mark.skipif(jax.device_count() < 8,
+                    reason="needs the multi-device CPU mesh harness")
 def test_framesharded_stft_matches_single_device():
     rng = np.random.default_rng(2)
     sr = 22050
@@ -51,6 +54,8 @@ def test_framesharded_stft_matches_single_device():
     assert spec[-1] == "data", spec
 
 
+@pytest.mark.skipif(jax.device_count() < 4,
+                    reason="needs the multi-device CPU mesh harness")
 def test_framesharded_mel_matches_single_device():
     rng = np.random.default_rng(3)
     sr = 22050
