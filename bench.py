@@ -32,6 +32,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from tpuvae.utils.cache import enable_compilation_cache
+
+    cache_dir = enable_compilation_cache()
+    log(f"compilation cache: {cache_dir}")
+
     from tpuvae.config import PreprocessConfig
     from tpuvae.dsp import extract_basic_features, jit_extractor
     from tpuvae.io import generate_memory_batch

@@ -60,6 +60,9 @@ def main(argv=None) -> int:
     if not argv or argv[0] in ("-h", "--help"):
         print(__doc__)
         return 0
+    from tpuvae.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()   # reuse XLA executables across processes
     try:
         return _dispatch(argv)
     except KeyError as e:
