@@ -14,6 +14,13 @@ SURVEY.md §4) is a fresh interpreter with PYTHONPATH scrubbed.  Set
 import os
 import sys
 
+if os.environ.get("TPUVAE_TEST_TPU") == "1":
+    # real-TPU suite run: every fresh graph costs ~2 min of remote compile;
+    # the persistent cache makes reruns (and post-crash resumes) cheap
+    from tpuvae.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
 if (
     os.environ.get("TPUVAE_TEST_TPU") != "1"
     and os.environ.get("TPUVAE_TEST_REEXEC") != "1"
