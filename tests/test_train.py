@@ -99,3 +99,56 @@ def test_restore_best_returns_best_weights():
     # evaluate loss with restored state <= final-epoch train loss + tolerance
     assert res.best_epoch <= res.stopped_epoch
     assert param_count(res.state.params) == param_count(state.params)
+
+
+def _chunk_equiv_run(scan_epochs, *, monitor, restore, plateau, val_noise,
+                     epochs=40, patience=2):
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(50, 12)).astype(np.float32)
+    v = rng.normal(size=(16, 12)).astype(np.float32) * val_noise
+    key = jax.random.PRNGKey(0)
+    model = SimpleVAE(input_dim=12, hidden_dims=(8,), latent_dim=4)
+    state = create_state(model, key, (jnp.asarray(x[:2]), key), 1e-2,
+                         train=True)
+    cfg = FitConfig(epochs=epochs, batch_size=16, patience=patience,
+                    monitor=monitor, restore_best=restore,
+                    plateau_patience=plateau, seed=0,
+                    scan_epochs=scan_epochs)
+    vd = (jnp.asarray(v),) if monitor == "val" else None
+    return fit(state, simple_vae_objective(0.5), (x,), cfg, val_data=vd)
+
+
+def test_scan_epochs_matches_per_epoch_loop():
+    """scan_epochs>1 (in-graph early-stop/plateau/best-restore) must
+    reproduce the per-epoch host loop: same histories, same LR schedule,
+    same stop/best epochs, same final weights."""
+    a = _chunk_equiv_run(1, monitor="train", restore=True, plateau=2,
+                         epochs=14, patience=4, val_noise=1.0)
+    b = _chunk_equiv_run(5, monitor="train", restore=True, plateau=2,
+                         epochs=14, patience=4, val_noise=1.0)
+    np.testing.assert_allclose(a.history["train_loss"],
+                               b.history["train_loss"], rtol=1e-6)
+    np.testing.assert_allclose(a.history["lr"], b.history["lr"], rtol=1e-7)
+    assert (a.best_epoch, a.stopped_epoch) == (b.best_epoch, b.stopped_epoch)
+    for p, q in zip(jax.tree_util.tree_leaves(a.state.params),
+                    jax.tree_util.tree_leaves(b.state.params)):
+        np.testing.assert_allclose(np.asarray(p), np.asarray(q),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_scan_epochs_early_stop_mid_chunk():
+    """A noisy val monitor triggers early stopping inside a chunk; the
+    frozen epochs past the stop point must not change the state, and
+    best-weights restore must pick the same epoch."""
+    a = _chunk_equiv_run(1, monitor="val", restore=True, plateau=1,
+                         val_noise=3.0)
+    b = _chunk_equiv_run(7, monitor="val", restore=True, plateau=1,
+                         val_noise=3.0)
+    assert a.stopped_epoch == b.stopped_epoch
+    assert a.best_epoch == b.best_epoch
+    np.testing.assert_allclose(a.history["val_loss"],
+                               b.history["val_loss"], rtol=1e-6)
+    for p, q in zip(jax.tree_util.tree_leaves(a.state.params),
+                    jax.tree_util.tree_leaves(b.state.params)):
+        np.testing.assert_allclose(np.asarray(p), np.asarray(q),
+                                   rtol=1e-5, atol=1e-7)

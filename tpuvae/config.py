@@ -154,6 +154,10 @@ class SimpleVAEConfig(_ConfigBase):
     patience: int = 15
     plateau_patience: int = 15       # ReduceLROnPlateau(factor=.5, patience=15)
     plateau_factor: float = 0.5
+    # epochs per device call (in-graph early-stop/plateau; semantics equal
+    # to per-epoch, tested) — amortizes dispatch for this tiny model's
+    # 500-epoch budget
+    scan_epochs: int = 8
     seed: int = 42
 
 
@@ -172,6 +176,7 @@ class ConditionalVAEConfig(_ConfigBase):
     text_loss_weight: float = 200.0  # dim-balancing weight, ref :238-240
     patience: int = 20
     val_fraction: float = 0.15
+    scan_epochs: int = 4             # epochs per device call (see SimpleVAEConfig)
     seed: int = 42
 
 
@@ -190,6 +195,7 @@ class HybridVAEConfig(_ConfigBase):
     text_loss_weight: float = 350.0  # ref :194
     patience: int = 15
     val_fraction: float = 0.15
+    scan_epochs: int = 4             # epochs per device call (see SimpleVAEConfig)
     seed: int = 42
 
 

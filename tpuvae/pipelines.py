@@ -388,7 +388,7 @@ def run_simple_vae(
         epochs=cfg.epochs, batch_size=cfg.batch_size, patience=cfg.patience,
         monitor="train", restore_best=True,
         plateau_patience=cfg.plateau_patience, plateau_factor=cfg.plateau_factor,
-        seed=cfg.seed,
+        seed=cfg.seed, scan_epochs=cfg.scan_epochs,
     )
     res = fit(state, simple_vae_objective(cfg.beta), (features,), fit_cfg,
               logger=logger, mesh=_fit_mesh(mesh, cfg.batch_size, logger),
@@ -482,6 +482,7 @@ def run_conditional_vae(
     fit_cfg = FitConfig(
         epochs=cfg.epochs, batch_size=cfg.batch_size, patience=cfg.patience,
         monitor="val", restore_best=False, seed=cfg.seed,
+        scan_epochs=cfg.scan_epochs,
     )
     res = fit(
         state, cvae_objective(cfg.beta, cfg.text_loss_weight),
@@ -589,7 +590,7 @@ def run_hybrid_vae(
     fit_cfg = FitConfig(
         epochs=cfg.epochs, batch_size=cfg.batch_size, patience=cfg.patience,
         monitor="val", restore_best=False, loss_normalizer="per_dataset",
-        seed=cfg.seed, log_every=1,
+        seed=cfg.seed, log_every=1, scan_epochs=cfg.scan_epochs,
     )
     res = fit(
         state, hybrid_objective(cfg.beta, cfg.text_loss_weight),

@@ -46,6 +46,12 @@ class FitConfig:
     checkpoint_dir: str | None = None     # periodic full-state checkpoints
     checkpoint_every: int = 50
     resume: bool = True                   # continue from checkpoint_dir if present
+    # >1 scans K epochs per device call with early-stopping / plateau-LR /
+    # best-weights tracking replicated IN-GRAPH (epochs after the stop
+    # point freeze via lax.cond, so semantics match the per-epoch loop).
+    # Worth ~the per-call dispatch overhead × (K-1) per chunk — dominant
+    # for small models on remote-dispatch TPU setups.  Single-device only.
+    scan_epochs: int = 1
 
 
 @dataclasses.dataclass
@@ -279,6 +285,20 @@ def fit(
             if logger is not None:
                 logger.log("resume_training", from_epoch=start_epoch)
 
+    if cfg.scan_epochs > 1 and not dp:
+        has_val = val_data is not None
+        return _fit_chunked(
+            state, cfg, epoch_call, all_data, n, n_batches,
+            val_batches if has_val else 0, n_val if has_val else 0,
+            has_val, logger,
+            history=history, best=best, best_epoch=best_epoch,
+            best_snapshot=best_snapshot, patience_counter=patience_counter,
+            plateau_best=plateau_best, plateau_counter=plateau_counter,
+            start_epoch=start_epoch, rng=rng, t0=t0,
+        )
+    if cfg.scan_epochs > 1 and dp and logger is not None:
+        logger.log("scan_epochs_ignored", reason="dp mesh epoch active")
+
     for epoch in range(start_epoch, cfg.epochs):
         ep_rng = jax.random.fold_in(rng, epoch)
         perm = (None if dp else
@@ -370,6 +390,188 @@ def fit(
         state=state,
         history=history,
         best_epoch=best_epoch,
+        stopped_epoch=epoch,
+        steps_per_sec=total_steps / max(elapsed, 1e-9),
+    )
+
+
+def _fit_chunked(
+    state, cfg: FitConfig, epoch_call, all_data, n, n_batches,
+    val_batches, n_val, has_val, logger, *, history, best, best_epoch,
+    best_snapshot, patience_counter, plateau_best, plateau_counter,
+    start_epoch, rng, t0,
+) -> FitResult:
+    """Scanned-epoch host loop: ONE device call per ``cfg.scan_epochs``
+    epochs, with early-stopping / ReduceLROnPlateau / best-weights tracking
+    replicated in-graph.
+
+    Semantics match the per-epoch loop exactly (same per-epoch rng streams,
+    same update order: plateau before early-stop); epochs past the stop
+    point or the epoch budget freeze through ``lax.cond``, so the returned
+    state is the state AT the stopping epoch, and the host discards the
+    frozen slots.  The one nuance: monitored losses are compared in float32
+    on device where the per-epoch loop compares float64 on host — a
+    divergence only on exact f32 ties (equivalence covered by
+    tests/test_train.py).
+    """
+    from tpuvae.train.state import set_learning_rate as _set_lr
+    from tpuvae.train.state import traced_learning_rate
+
+    k_chunk = int(cfg.scan_epochs)
+    denom = jnp.float32(n_batches if cfg.loss_normalizer == "per_batch" else n)
+    vdenom = jnp.float32(
+        (val_batches if cfg.loss_normalizer == "per_batch" else n_val) or 1
+    )
+    track_best = bool(cfg.restore_best)
+    use_plateau = cfg.plateau_patience is not None
+
+    @jax.jit
+    def chunk_call(state, ctrl, snap, start, *data):
+        def run_epoch(args):
+            state, ctrl, snap, offs = args
+            e = start + offs
+            ep_rng = jax.random.fold_in(rng, e)
+            perm = jax.random.permutation(jax.random.fold_in(ep_rng, 0), n)
+            state2, loss_sum, val_total = epoch_call(
+                state, perm, jax.random.fold_in(ep_rng, 1), *data
+            )
+            train_loss = loss_sum / denom
+            val_loss = val_total / vdenom
+            monitored = train_loss if cfg.monitor == "train" else val_loss
+
+            lr_used = traced_learning_rate(state2)
+            if use_plateau:
+                p_imp = monitored < ctrl["plateau_best"]
+                p_best = jnp.minimum(monitored, ctrl["plateau_best"])
+                p_cnt = jnp.where(p_imp, 0, ctrl["plateau_cnt"] + 1)
+                reduce_now = p_cnt > cfg.plateau_patience
+                new_lr = jnp.where(
+                    reduce_now, lr_used * cfg.plateau_factor, lr_used
+                )
+                p_cnt = jnp.where(reduce_now, 0, p_cnt)
+                state2 = _set_lr(state2, new_lr)
+            else:
+                p_best, p_cnt = ctrl["plateau_best"], ctrl["plateau_cnt"]
+
+            imp = monitored < ctrl["best"]
+            new_ctrl = {
+                "best": jnp.where(imp, monitored, ctrl["best"]),
+                "best_epoch": jnp.where(imp, e, ctrl["best_epoch"]),
+                "patience": jnp.where(imp, 0, ctrl["patience"] + 1),
+                "plateau_best": p_best,
+                "plateau_cnt": p_cnt,
+            }
+            new_ctrl["stopped"] = new_ctrl["patience"] >= cfg.patience
+            if track_best:
+                snap = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(imp, a, b),
+                    (state2.params, state2.batch_stats), snap,
+                )
+            out = (train_loss, val_loss, lr_used,
+                   jnp.bool_(True), new_ctrl["stopped"])
+            return (state2, new_ctrl, snap), out
+
+        def skip_epoch(args):
+            state, ctrl, snap, _ = args
+            z = jnp.float32(0.0)
+            return (state, ctrl, snap), (z, z, z, jnp.bool_(False),
+                                         ctrl["stopped"])
+
+        def body(carry, offs):
+            state, ctrl, snap = carry
+            live = (~ctrl["stopped"]) & (start + offs < cfg.epochs)
+            (state, ctrl, snap), out = jax.lax.cond(
+                live, run_epoch, skip_epoch, (state, ctrl, snap, offs)
+            )
+            return (state, ctrl, snap), out
+
+        (state, ctrl, snap), outs = jax.lax.scan(
+            body, (state, ctrl, snap), jnp.arange(k_chunk)
+        )
+        return state, ctrl, snap, outs
+
+    ctrl = {
+        "best": jnp.float32(best),
+        "best_epoch": jnp.int32(best_epoch),
+        "patience": jnp.int32(patience_counter),
+        "plateau_best": jnp.float32(plateau_best),
+        "plateau_cnt": jnp.int32(plateau_counter),
+        "stopped": jnp.bool_(patience_counter >= cfg.patience),
+    }
+    had_snapshot = best_snapshot is not None
+    initial_best_epoch = best_epoch
+    if track_best:
+        snap = best_snapshot if best_snapshot is not None else (
+            state.params, state.batch_stats
+        )
+    else:
+        snap = ()   # nothing carried through the scan
+
+    total_steps = 0
+    epoch = start_epoch - 1
+    next_epoch = start_epoch
+    stopped_host = patience_counter >= cfg.patience
+    while next_epoch < cfg.epochs and not stopped_host:
+        state, ctrl, snap, outs = chunk_call(
+            state, ctrl, snap, jnp.int32(next_epoch), *all_data
+        )
+        tl, vl, lrs, ran, stf = jax.device_get(outs)   # ONE host sync / chunk
+        for i in range(k_chunk):
+            if not ran[i]:
+                break
+            epoch = next_epoch + i
+            history["train_loss"].append(float(tl[i]))
+            history["lr"].append(float(lrs[i]))
+            if has_val:
+                history["val_loss"].append(float(vl[i]))
+            total_steps += n_batches
+            if logger is not None and (epoch + 1) % cfg.log_every == 0:
+                logger.log(
+                    "epoch", epoch=epoch + 1, train_loss=float(tl[i]),
+                    val_loss=float(vl[i]) if has_val else None,
+                    lr=float(lrs[i]),
+                )
+            if stf[i]:
+                stopped_host = True
+                break
+        if cfg.checkpoint_dir and (
+            (epoch + 1) // cfg.checkpoint_every
+            > next_epoch // cfg.checkpoint_every
+        ):
+            from pathlib import Path
+
+            from tpuvae.train.checkpoint import (
+                save_checkpoint, save_train_state,
+            )
+
+            meta_ctrl = jax.device_get(ctrl)
+            save_train_state(
+                Path(cfg.checkpoint_dir) / "latest", state,
+                {"epoch": epoch, "best": float(meta_ctrl["best"]),
+                 "best_epoch": int(meta_ctrl["best_epoch"]),
+                 "patience_counter": int(meta_ctrl["patience"]),
+                 "plateau_best": float(meta_ctrl["plateau_best"]),
+                 "plateau_counter": int(meta_ctrl["plateau_cnt"]),
+                 "lr": get_learning_rate(state), "history": history},
+            )
+            if track_best and int(meta_ctrl["best_epoch"]) > initial_best_epoch:
+                save_checkpoint(
+                    Path(cfg.checkpoint_dir) / "best", snap[0], snap[1],
+                    {"epoch": int(meta_ctrl["best_epoch"]),
+                     "monitored": float(meta_ctrl["best"])},
+                )
+        next_epoch += k_chunk
+
+    final_best_epoch = int(jax.device_get(ctrl["best_epoch"]))
+    improved_here = final_best_epoch > initial_best_epoch
+    if cfg.restore_best and (had_snapshot or improved_here):
+        state = state.replace(params=snap[0], batch_stats=snap[1])
+
+    elapsed = time.time() - t0
+    return FitResult(
+        state=state,
+        history=history,
+        best_epoch=final_best_epoch,
         stopped_epoch=epoch,
         steps_per_sec=total_steps / max(elapsed, 1e-9),
     )

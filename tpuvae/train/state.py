@@ -41,6 +41,19 @@ def set_learning_rate(state: TrainState, lr: float) -> TrainState:
     return state.replace(opt_state=new_os)
 
 
+def traced_learning_rate(state: TrainState) -> jnp.ndarray:
+    """The injected learning_rate as a (possibly traced) array — the
+    in-graph counterpart of :func:`get_learning_rate` for scanned-epoch
+    control flow."""
+    os_ = state.opt_state
+    if hasattr(os_, "hyperparams"):
+        return os_.hyperparams["learning_rate"]
+    for part in os_:
+        if hasattr(part, "hyperparams"):
+            return part.hyperparams["learning_rate"]
+    raise ValueError("no injected learning_rate found")
+
+
 def get_learning_rate(state: TrainState) -> float:
     os = state.opt_state
     if hasattr(os, "hyperparams"):
