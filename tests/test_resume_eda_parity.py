@@ -102,6 +102,86 @@ def test_train_state_checkpoint_resume(tmp_path):
                                    rtol=1e-4, atol=1e-6)
 
 
+def test_checkpoint_manager_rotation(tmp_path):
+    from tpuvae.models import SimpleVAE
+    from tpuvae.train import (CheckpointManager, create_state,
+                              latest_train_state_dir)
+
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(8, 10)).astype(np.float32)
+    model = SimpleVAE(input_dim=10, hidden_dims=(8,), latent_dim=4)
+    key = jax.random.PRNGKey(0)
+    state = create_state(model, key, (jnp.asarray(x[:2]), key), 1e-3,
+                         train=True)
+
+    mgr = CheckpointManager(tmp_path / "ck", max_to_keep=2)
+    for step in (1, 2, 3, 4):
+        mgr.save(state, {"epoch": step}, step=step)
+    # only the newest 2 survive; 'latest' resolves to the newest
+    assert mgr.steps() == [3, 4]
+    assert mgr.latest_step() == 4
+    latest = latest_train_state_dir(tmp_path / "ck")
+    assert latest is not None and latest.resolve().name == "step_00000004"
+    restored, meta = mgr.restore(state)
+    assert meta["epoch"] == 4
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # explicit older step restore
+    _, meta3 = mgr.restore(state, step=3)
+    assert meta3["epoch"] == 3
+
+    # legacy layout (a real 'latest' dir) still resolves, and the manager
+    # upgrades it in place on the next save
+    from tpuvae.train import restore_train_state, save_train_state
+
+    legacy = tmp_path / "legacy"
+    save_train_state(legacy / "latest", state, {"epoch": 7})
+    found = latest_train_state_dir(legacy)
+    assert found is not None and found.name == "latest"
+    CheckpointManager(legacy, max_to_keep=1).save(state, {"epoch": 8}, step=8)
+    found = latest_train_state_dir(legacy)
+    assert found is not None
+    _, meta8 = restore_train_state(found, state)
+    assert meta8["epoch"] == 8
+
+
+def test_fit_resume_with_rotation(tmp_path):
+    """fit() resume reads the rotated step-dir layout (checkpoint_keep>1)."""
+    from tpuvae.models import SimpleVAE
+    from tpuvae.train import (FitConfig, create_state, fit,
+                              simple_vae_objective)
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(64, 10)).astype(np.float32)
+    model = SimpleVAE(input_dim=10, hidden_dims=(8,), latent_dim=4)
+    key = jax.random.PRNGKey(0)
+
+    def build():
+        return create_state(model, key, (jnp.asarray(x[:2]), key), 1e-3,
+                            train=True)
+
+    obj = simple_vae_objective(beta=0.2)
+    cfg_full = FitConfig(epochs=6, batch_size=32, patience=100, seed=0)
+    res_full = fit(build(), obj, (x,), cfg_full)
+
+    ckdir = str(tmp_path / "ck")
+    cfg_a = FitConfig(epochs=3, batch_size=32, patience=100, seed=0,
+                      checkpoint_dir=ckdir, checkpoint_every=1,
+                      checkpoint_keep=3)
+    fit(build(), obj, (x,), cfg_a)
+    import os
+    step_dirs = sorted(d for d in os.listdir(ckdir) if d.startswith("step_"))
+    assert step_dirs == ["step_00000000", "step_00000001", "step_00000002"]
+    cfg_b = FitConfig(epochs=6, batch_size=32, patience=100, seed=0,
+                      checkpoint_dir=ckdir, checkpoint_every=1,
+                      checkpoint_keep=3, resume=True)
+    res_resumed = fit(build(), obj, (x,), cfg_b)
+    assert len(res_resumed.history["train_loss"]) == 6
+    np.testing.assert_allclose(res_resumed.history["train_loss"][3:],
+                               res_full.history["train_loss"][3:], rtol=1e-4)
+
+
 def test_eda_report(tmp_path):
     from tpuvae.pipelines import preprocess_advanced
     from tpuvae.viz.eda import run_eda

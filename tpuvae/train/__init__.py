@@ -14,6 +14,8 @@ from tpuvae.train.objectives import (  # noqa: F401
     autoencoder_objective,
 )
 from tpuvae.train.checkpoint import (  # noqa: F401
+    CheckpointManager,
+    latest_train_state_dir,
     save_checkpoint,
     load_checkpoint,
     save_train_state,

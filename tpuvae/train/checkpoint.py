@@ -13,6 +13,8 @@ extra dependencies (and is trivially portable).
 from __future__ import annotations
 
 import json
+import os
+import shutil
 from pathlib import Path
 from typing import Any
 
@@ -75,6 +77,119 @@ def restore_train_state(path: str | Path, state):
         ),
         metadata,
     )
+
+
+class CheckpointManager:
+    """Rotating full-train-state checkpoints with atomic writes.
+
+    Layout under ``directory``::
+
+        step_00000049/train_state.msgpack + metadata.json
+        step_00000099/...
+        latest -> step_00000099        (symlink; LATEST text file fallback)
+
+    ``max_to_keep`` most-recent step dirs are retained; older ones are
+    pruned after each save.  Writes go to a hidden temp dir first and are
+    ``os.replace``-renamed into place, so a crash mid-save can never
+    corrupt the newest restorable checkpoint.  (The reference has no
+    durable checkpointing at all — Simple VAE torch.saves one best-weights
+    file, ``Simple_VAE.py:204-207``; this subsumes it.)
+    """
+
+    def __init__(self, directory: str | Path, max_to_keep: int = 1):
+        if max_to_keep < 1:
+            raise ValueError(f"max_to_keep must be >= 1, got {max_to_keep}")
+        self.directory = Path(directory)
+        self.max_to_keep = int(max_to_keep)
+        self.directory.mkdir(parents=True, exist_ok=True)
+
+    # -- naming -------------------------------------------------------------
+    def _step_dir(self, step: int) -> Path:
+        return self.directory / f"step_{int(step):08d}"
+
+    def steps(self) -> list[int]:
+        out = []
+        for p in self.directory.glob("step_*"):
+            if p.is_dir() and (p / "train_state.msgpack").exists():
+                try:
+                    out.append(int(p.name.split("_", 1)[1]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def latest_step(self) -> int | None:
+        steps = self.steps()
+        return steps[-1] if steps else None
+
+    # -- save / restore -----------------------------------------------------
+    def save(self, state, metadata: dict[str, Any] | None = None,
+             *, step: int | None = None) -> Path:
+        step = int(state.step) if step is None else int(step)
+        tmp = self.directory / f".tmp_step_{step:08d}"
+        if tmp.exists():
+            shutil.rmtree(tmp)
+        save_train_state(tmp, state, metadata)
+        final = self._step_dir(step)
+        if final.exists():
+            shutil.rmtree(final)
+        os.replace(tmp, final)
+        self._update_latest(final)
+        self._prune()
+        return final
+
+    def restore(self, state, step: int | None = None):
+        """Restore (state, metadata) from ``step`` (default: newest)."""
+        if step is None:
+            step = self.latest_step()
+            if step is None:
+                raise FileNotFoundError(
+                    f"no checkpoints under {self.directory}"
+                )
+        return restore_train_state(self._step_dir(step), state)
+
+    # -- internals ----------------------------------------------------------
+    def _update_latest(self, target: Path) -> None:
+        link = self.directory / "latest"
+        # a legacy real 'latest' dir (pre-rotation layout) gets replaced —
+        # only if it looks like one of our checkpoints
+        if link.is_dir() and not link.is_symlink():
+            if (link / "train_state.msgpack").exists():
+                shutil.rmtree(link)
+            else:
+                (self.directory / "LATEST").write_text(target.name)
+                return
+        try:
+            tmp_link = self.directory / ".latest.tmp"
+            if tmp_link.is_symlink() or tmp_link.exists():
+                tmp_link.unlink()
+            os.symlink(target.name, tmp_link)
+            os.replace(tmp_link, link)
+        except OSError:
+            (self.directory / "LATEST").write_text(target.name)
+
+    def _prune(self) -> None:
+        for step in self.steps()[: -self.max_to_keep]:
+            shutil.rmtree(self._step_dir(step), ignore_errors=True)
+
+
+def latest_train_state_dir(directory: str | Path) -> Path | None:
+    """The directory to resume from, across all layouts: legacy real
+    ``latest`` dir, rotation symlink, ``LATEST`` pointer file, or the
+    highest ``step_*`` dir.  None when nothing restorable exists."""
+    directory = Path(directory)
+    ck = directory / "latest"
+    if (ck / "train_state.msgpack").exists():      # dir or valid symlink
+        return ck
+    pointer = directory / "LATEST"
+    if pointer.exists():
+        cand = directory / pointer.read_text().strip()
+        if (cand / "train_state.msgpack").exists():
+            return cand
+    if directory.exists():
+        steps = CheckpointManager(directory).steps()
+        if steps:
+            return directory / f"step_{steps[-1]:08d}"
+    return None
 
 
 def load_checkpoint(path: str | Path, like_params=None, like_batch_stats=None):

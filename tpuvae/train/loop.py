@@ -45,6 +45,7 @@ class FitConfig:
     log_every: int = 10
     checkpoint_dir: str | None = None     # periodic full-state checkpoints
     checkpoint_every: int = 50
+    checkpoint_keep: int = 1              # rotation depth (CheckpointManager)
     resume: bool = True                   # continue from checkpoint_dir if present
     # >1 scans K epochs per device call with early-stopping / plateau-LR /
     # best-weights tracking replicated IN-GRAPH (epochs after the stop
@@ -254,10 +255,12 @@ def fit(
     if cfg.checkpoint_dir and cfg.resume:
         from pathlib import Path
 
-        from tpuvae.train.checkpoint import restore_train_state
+        from tpuvae.train.checkpoint import (
+            latest_train_state_dir, restore_train_state,
+        )
 
-        ck = Path(cfg.checkpoint_dir) / "latest"
-        if (ck / "train_state.msgpack").exists():
+        ck = latest_train_state_dir(cfg.checkpoint_dir)
+        if ck is not None:
             state, meta = restore_train_state(ck, state)
             start_epoch = int(meta["epoch"]) + 1
             best = float(meta["best"])
@@ -366,17 +369,16 @@ def fit(
             )
 
         if cfg.checkpoint_dir and (epoch + 1) % cfg.checkpoint_every == 0:
-            from pathlib import Path
+            from tpuvae.train.checkpoint import CheckpointManager
 
-            from tpuvae.train.checkpoint import save_train_state
-
-            save_train_state(
-                Path(cfg.checkpoint_dir) / "latest", state,
+            CheckpointManager(cfg.checkpoint_dir, cfg.checkpoint_keep).save(
+                state,
                 {"epoch": epoch, "best": best, "best_epoch": best_epoch,
                  "patience_counter": patience_counter,
                  "plateau_best": plateau_best,
                  "plateau_counter": plateau_counter, "lr": lr,
                  "history": history},
+                step=epoch,
             )
 
         if patience_counter >= cfg.patience:
@@ -541,18 +543,19 @@ def _fit_chunked(
             from pathlib import Path
 
             from tpuvae.train.checkpoint import (
-                save_checkpoint, save_train_state,
+                CheckpointManager, save_checkpoint,
             )
 
             meta_ctrl = jax.device_get(ctrl)
-            save_train_state(
-                Path(cfg.checkpoint_dir) / "latest", state,
+            CheckpointManager(cfg.checkpoint_dir, cfg.checkpoint_keep).save(
+                state,
                 {"epoch": epoch, "best": float(meta_ctrl["best"]),
                  "best_epoch": int(meta_ctrl["best_epoch"]),
                  "patience_counter": int(meta_ctrl["patience"]),
                  "plateau_best": float(meta_ctrl["plateau_best"]),
                  "plateau_counter": int(meta_ctrl["plateau_cnt"]),
                  "lr": get_learning_rate(state), "history": history},
+                step=epoch,
             )
             if track_best and int(meta_ctrl["best_epoch"]) > initial_best_epoch:
                 save_checkpoint(
