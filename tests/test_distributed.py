@@ -156,6 +156,68 @@ def test_sharded_silhouette_matches_single_device():
     assert abs(got2 - want2) < 1e-4
 
 
+def test_tp_dp_step_matches_single_device():
+    """One DP x TP step over a (4, 2) (data, model) mesh == the plain
+    single-device step, with the wide kernels actually sharded on 'model'."""
+    import optax
+    from flax import core
+    from jax.sharding import PartitionSpec as P
+
+    from tpuvae.models import HybridVAE
+    from tpuvae.parallel.tp import make_tp_dp_train_step, tp_spec_for
+    from tpuvae.train import TrainState, hybrid_objective
+
+    rng = np.random.default_rng(7)
+    b = 8
+    audio = jnp.asarray(rng.normal(size=(b, 64, 64, 1)).astype(np.float32))
+    text = jnp.asarray(rng.normal(size=(b, 32)).astype(np.float32))
+    model = HybridVAE(latent_dim=16, text_dim=32, input_hw=(64, 64))
+    key = jax.random.PRNGKey(0)
+
+    def build():
+        variables = model.init({"params": key, "dropout": key},
+                               audio[:2], text[:2], key, train=True)
+        return TrainState.create(
+            apply_fn=model.apply, params=variables["params"],
+            batch_stats=variables.get("batch_stats", core.FrozenDict()),
+            tx=optax.sgd(1e-3),
+        )
+
+    obj = hybrid_objective()
+    big = 512   # shard the 512/1024-wide test-geometry kernels
+
+    mesh2d = make_mesh((4, 2), ("data", "model"))
+    step_tp = make_tp_dp_train_step(obj, mesh2d, big=big)
+    s_tp, loss_tp = step_tp(build(), (audio, text), key)
+
+    mesh1 = make_mesh((1,), ("data",))
+    s_1, loss_1 = make_dp_train_step(obj, mesh1)(build(), (audio, text), key)
+
+    np.testing.assert_allclose(float(loss_tp), float(loss_1), rtol=1e-5)
+    # sum-reduction loss over ~32k elements: sharded-matmul/psum reduction
+    # order shifts near-zero bias grads by O(1e-7 * loss) — same tolerance
+    # class as test_dp_epoch_matches_single_device_fullbatch
+    for a, b_ in zip(jax.tree_util.tree_leaves(s_tp.params),
+                     jax.tree_util.tree_leaves(s_1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-3, atol=1e-4)
+
+    # the wide kernels came back SHARDED on 'model' (not gathered)
+    from jax.sharding import NamedSharding
+
+    k = s_tp.params["audio_decoder_fc"]["kernel"]   # (1024, 512): tall
+    assert tp_spec_for(k, big=big) == P("model", None)
+    want = NamedSharding(mesh2d, P("model", None))
+    assert k.sharding.is_equivalent_to(want, k.ndim), k.sharding
+    shard_shapes = {s.data.shape for s in k.addressable_shards}
+    assert shard_shapes == {(512, 512)}, shard_shapes
+    # and the Adam/SGD moments follow the same rule (shape-based, uniform)
+    mu_like = [x for x in jax.tree_util.tree_leaves(s_tp.opt_state)
+               if getattr(x, "shape", None) == k.shape]
+    for m in mu_like:
+        assert m.sharding.is_equivalent_to(want, k.ndim), m.sharding
+
+
 def test_make_mesh_too_few_devices_raises_clearly():
     with pytest.raises(ValueError, match=r"requested 16 devices .*found 8"):
         make_mesh((16,), ("data",))
