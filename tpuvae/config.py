@@ -158,6 +158,10 @@ class SimpleVAEConfig(_ConfigBase):
     # to per-epoch, tested) — amortizes dispatch for this tiny model's
     # 500-epoch budget
     scan_epochs: int = 8
+    # periodic durable full-train-state checkpoints (0 = off); written to
+    # <results_dir>/<Architecture>/checkpoints with CheckpointManager rotation
+    checkpoint_every: int = 0
+    checkpoint_keep: int = 1
     seed: int = 42
 
 
@@ -177,6 +181,10 @@ class ConditionalVAEConfig(_ConfigBase):
     patience: int = 20
     val_fraction: float = 0.15
     scan_epochs: int = 4             # epochs per device call (see SimpleVAEConfig)
+    # periodic durable full-train-state checkpoints (0 = off); written to
+    # <results_dir>/<Architecture>/checkpoints with CheckpointManager rotation
+    checkpoint_every: int = 0
+    checkpoint_keep: int = 1
     seed: int = 42
 
 
@@ -196,6 +204,10 @@ class HybridVAEConfig(_ConfigBase):
     patience: int = 15
     val_fraction: float = 0.15
     scan_epochs: int = 4             # epochs per device call (see SimpleVAEConfig)
+    # periodic durable full-train-state checkpoints (0 = off); written to
+    # <results_dir>/<Architecture>/checkpoints with CheckpointManager rotation
+    checkpoint_every: int = 0
+    checkpoint_keep: int = 1
     seed: int = 42
 
 

@@ -360,6 +360,19 @@ def _batched_latents(apply_latent, arrays, batch_size: int = 32) -> np.ndarray:
     return np.concatenate(outs)
 
 
+def _ckpt_kwargs(cfg, default_dir: str) -> dict:
+    """FitConfig checkpoint kwargs from a model config: durable rotating
+    mid-train checkpoints when ``checkpoint_every > 0`` (off by default —
+    the reference persists nothing mid-train, SURVEY.md §5)."""
+    if getattr(cfg, "checkpoint_every", 0) <= 0:
+        return {}
+    return {
+        "checkpoint_dir": default_dir,
+        "checkpoint_every": cfg.checkpoint_every,
+        "checkpoint_keep": cfg.checkpoint_keep,
+    }
+
+
 # -----------------------------------------------------------------------------
 # Simple VAE pipeline (≙ src/Simple_VAE.py)
 # -----------------------------------------------------------------------------
@@ -389,6 +402,7 @@ def run_simple_vae(
         monitor="train", restore_best=True,
         plateau_patience=cfg.plateau_patience, plateau_factor=cfg.plateau_factor,
         seed=cfg.seed, scan_epochs=cfg.scan_epochs,
+        **_ckpt_kwargs(cfg, f"{results_dir}/Simple_VAE/checkpoints"),
     )
     res = fit(state, simple_vae_objective(cfg.beta), (features,), fit_cfg,
               logger=logger, mesh=_fit_mesh(mesh, cfg.batch_size, logger),
@@ -483,6 +497,7 @@ def run_conditional_vae(
         epochs=cfg.epochs, batch_size=cfg.batch_size, patience=cfg.patience,
         monitor="val", restore_best=False, seed=cfg.seed,
         scan_epochs=cfg.scan_epochs,
+        **_ckpt_kwargs(cfg, f"{results_dir}/Conditional_VAE/checkpoints"),
     )
     res = fit(
         state, cvae_objective(cfg.beta, cfg.text_loss_weight),
@@ -591,6 +606,7 @@ def run_hybrid_vae(
         epochs=cfg.epochs, batch_size=cfg.batch_size, patience=cfg.patience,
         monitor="val", restore_best=False, loss_normalizer="per_dataset",
         seed=cfg.seed, log_every=1, scan_epochs=cfg.scan_epochs,
+        **_ckpt_kwargs(cfg, f"{results_dir}/Convolutional_VAE/checkpoints"),
     )
     res = fit(
         state, hybrid_objective(cfg.beta, cfg.text_loss_weight),
