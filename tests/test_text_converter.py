@@ -7,6 +7,7 @@ import pytest
 import torch
 import torch.nn as nn
 
+import jax
 import jax.numpy as jnp
 
 from tpuvae.text import EncoderConfig, SentenceEncoder, convert_hf_state_dict
@@ -115,7 +116,13 @@ def test_converted_weights_reproduce_torch_outputs():
 
     variables = convert_hf_state_dict(tmodel.hf_state_dict(), CFG)
     fmodel = SentenceEncoder(CFG)
-    got = np.asarray(fmodel.apply(variables, jnp.asarray(ids), jnp.asarray(mask)))
+    # pin fp32-accurate matmuls: this test verifies WEIGHT CONVERSION, so
+    # the TPU's default bf16 matmul pass (≈1e-1 rel on 12-layer stacks)
+    # must not enter the comparison
+    with jax.default_matmul_precision("highest"):
+        got = np.asarray(
+            fmodel.apply(variables, jnp.asarray(ids), jnp.asarray(mask))
+        )
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 

@@ -32,16 +32,19 @@ def resolve_numerics(cfg, stft_method: str | None = None):
     """(matmul_precision, stft_method) for a preprocess config.
 
     ``precision_mode='exact'`` pins fp32-accurate matmuls; ``'fast'`` (the
-    default) lets matmuls run at the TPU-native bf16 pass (~25% higher
-    extraction throughput; feature error bounded by tests/test_dsp.py's
-    fast-mode test).  An explicit ``stft_method`` (argument or config)
-    always wins over 'auto'; 'auto' picks the XLA DFT-matmul on TPU (no FFT
-    lowering there) and real FFT elsewhere.  Measured on v5e (bench
-    2026-08-16, batch 128 × 30 s): fast/dft 612 clips/s, fast/pallas 563,
-    exact/dft 490 — XLA's bf16 einsum beats the fused Pallas STFT once
-    precision is relaxed, so 'pallas' is an explicit opt-in for
-    memory-constrained batches (it never materializes the (B, 1292, 2048)
-    frame tensor in HBM).
+    default) lets the spectrogram-domain matmuls (mel/DCT/rolloff/chroma
+    projections) run at the TPU-native bf16 pass.  The STFT itself gets a
+    separate, higher floor — see :func:`stft_precision_for` — because a
+    1-pass bf16 DFT seeds a spurious ~-60 dB spectral floor that shifts
+    centroid/bandwidth by up to ~10% on tonal clips (measured v5e
+    2026-08-16; 3-pass HIGH removes every >2% violation at ~20% throughput
+    cost: 1898 → 1527 clips/s at batch 128, vs 1123 exact).
+
+    An explicit ``stft_method`` (argument or config) always wins over
+    'auto'; 'auto' picks the XLA DFT-matmul on TPU (no FFT lowering there)
+    and real FFT elsewhere.  The fused Pallas STFT stays an explicit opt-in
+    for memory-constrained batches (it never materializes the
+    (B, 1292, 2048) frame tensor in HBM).
     """
     mode = getattr(cfg, "precision_mode", "exact")
     if mode not in ("exact", "fast"):
@@ -51,6 +54,20 @@ def resolve_numerics(cfg, stft_method: str | None = None):
     if method == "auto":
         method = "fft" if jax.default_backend() in ("cpu", "gpu") else "dft"
     return precision, method
+
+
+def stft_precision_for(precision):
+    """The STFT matmul precision floor for a pipeline precision.
+
+    The DFT is the one matmul whose inputs span the signal's full dynamic
+    range, so its rounding noise lands as a broadband floor under EVERY
+    downstream feature; 'fast' mode therefore runs it at 3-pass
+    ``Precision.HIGH`` (~fp24 mantissa) while the rest of the chain stays
+    1-pass bf16.  Accuracy contract: tests/test_dsp.py's fast-mode test
+    (2% rtol / 1.0 atol vs exact)."""
+    if precision == jax.lax.Precision.DEFAULT:
+        return jax.lax.Precision.HIGH
+    return precision
 
 
 # -----------------------------------------------------------------------------
@@ -168,7 +185,8 @@ def extract_basic_features(
     """
     sr, n_fft, hop = cfg.sample_rate, cfg.n_fft, cfg.hop_length
     prec, method = resolve_numerics(cfg, stft_method)
-    s_power = prim.stft_power(y, n_fft, hop, method=method, precision=prec)
+    s_power = prim.stft_power(y, n_fft, hop, method=method,
+                              precision=stft_precision_for(prec))
     s_mag = jnp.sqrt(s_power)
     freqs = jnp.asarray(prim.fft_frequencies(sr, n_fft))
 
@@ -208,7 +226,7 @@ def extract_mel_image(
     """
     prec, method = resolve_numerics(cfg, stft_method)
     s_power = prim.stft_power(y, cfg.n_fft, cfg.hop_length, method=method,
-                              precision=prec)
+                              precision=stft_precision_for(prec))
     mel_p = mel_power_from_stft(s_power, cfg.sample_rate, cfg.n_fft,
                                 cfg.n_mels, precision=prec)
     mel_db = mel_db_ref_max(mel_p)
@@ -231,7 +249,8 @@ def extract_flat_features(
     without MFCCs."""
     sr, n_fft, hop = cfg.sample_rate, cfg.n_fft, cfg.hop_length
     prec, method = resolve_numerics(cfg, stft_method)
-    s_power = prim.stft_power(y, n_fft, hop, method=method, precision=prec)
+    s_power = prim.stft_power(y, n_fft, hop, method=method,
+                              precision=stft_precision_for(prec))
     s_mag = jnp.sqrt(s_power)
     freqs = jnp.asarray(prim.fft_frequencies(sr, n_fft))
 
@@ -269,7 +288,8 @@ def extract_advanced(
     """
     sr, n_fft, hop = cfg.sample_rate, cfg.n_fft, cfg.hop_length
     prec, method = resolve_numerics(cfg, stft_method)
-    s_power = prim.stft_power(y, n_fft, hop, method=method, precision=prec)
+    s_power = prim.stft_power(y, n_fft, hop, method=method,
+                              precision=stft_precision_for(prec))
     s_mag = jnp.sqrt(s_power)
     freqs = jnp.asarray(prim.fft_frequencies(sr, n_fft))
 
