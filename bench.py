@@ -73,16 +73,22 @@ def main():
         f"einsum below N=4096, tiled Pallas kernel above (v5e: einsum "
         f"32.7ms vs pallas 51.5ms at N=1336; 4.31s vs 3.53s at N=10240)")
     fn = jit_extractor(extract_basic_features, cfg)
-    x = jnp.asarray(clips)
+    # distinct input batches so no caching layer can skip real execution;
+    # dispatches are pipelined (one host sync at the end) the way the real
+    # extraction pipeline streams dataset shards through the device
+    xs = [jnp.asarray(np.roll(clips, i, axis=0)) for i in range(3)]
     t0 = time.time()
-    np.asarray(fn(x))
+    np.asarray(fn(xs[0]))
     log(f"compile+first run: {time.time() - t0:.1f}s")
-    reps = 5
-    t0 = time.time()
-    for _ in range(reps):
-        out = fn(x)
-    np.asarray(out)
-    tpu_clips_per_sec = reps * batch / (time.time() - t0)
+    reps = 10
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        for i in range(reps):
+            out = fn(xs[i % len(xs)])
+        np.asarray(out)
+        best = min(best, (time.time() - t0) / reps)
+    tpu_clips_per_sec = batch / best
     log(f"TPU batched: {tpu_clips_per_sec:.1f} clips/s (batch {batch})")
 
     print(json.dumps({

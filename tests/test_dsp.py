@@ -49,6 +49,34 @@ def test_stft_dft_matmul_path_matches_fft_path(audio_batch):
     np.testing.assert_allclose(a, b, rtol=5e-2, atol=0.5)
 
 
+@pytest.mark.parametrize("method", ["ct", "ct_pallas"])
+def test_stft_cooley_tukey_paths_match_fft(audio_batch, method):
+    y, sr = audio_batch
+    a = np.asarray(stft_power(jnp.asarray(y[:2]), N_FFT, HOP, method="fft"))
+    b = np.asarray(stft_power(jnp.asarray(y[:2]), N_FFT, HOP, method=method))
+    np.testing.assert_allclose(a, b, rtol=5e-2, atol=0.5)
+    # non-reference geometry (n_fft multiple of 256, different hop ratio)
+    a2 = np.asarray(stft_power(jnp.asarray(y[:1, :8000]), 512, 256,
+                               method="fft"))
+    b2 = np.asarray(stft_power(jnp.asarray(y[:1, :8000]), 512, 256,
+                               method=method))
+    np.testing.assert_allclose(a2, b2, rtol=5e-2, atol=0.5)
+
+
+def test_stft_ct_pallas_exact_mode_and_rejects_bad_geometry(audio_batch):
+    from tpuvae.ops.stft import stft_power_ct_pallas
+
+    y, sr = audio_batch
+    a = np.asarray(stft_power(jnp.asarray(y[:2]), N_FFT, HOP, method="fft"))
+    b = np.asarray(stft_power_ct_pallas(jnp.asarray(y[:2]), N_FFT, HOP,
+                                        exact=True))
+    np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-2)
+    with pytest.raises(ValueError):
+        stft_power_ct_pallas(jnp.asarray(y[:1]), 1024 + 128, 512)
+    with pytest.raises(ValueError):
+        stft_power_ct_pallas(jnp.asarray(y[:1]), 2048, 700)
+
+
 def test_stft_small_against_direct_dft(rng):
     """Tiny n_fft sanity check against a literal O(n^2) DFT."""
     y = rng.standard_normal((1, 256)).astype(np.float32)

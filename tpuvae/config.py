@@ -90,9 +90,10 @@ class PreprocessConfig(_ConfigBase):
     # extraction; feature error bounded by tests/test_dsp.py); 'exact'
     # pins fp32-accurate matmuls everywhere for strict parity work.
     precision_mode: str = "fast"
-    # 'pallas' = fused framing+window+DFT kernel that keeps the (B, frames,
-    # n_fft) tensor out of HBM — opt-in for memory-constrained batches
-    stft_method: str = "auto"  # 'auto' | 'fft' | 'dft' | 'pallas'
+    # 'auto' = fused Cooley-Tukey Pallas kernel on TPU ('ct_pallas'), real
+    # FFT elsewhere; 'dft' = dense DFT matmuls; 'pallas' = dense-DFT fusion
+    # kernel (memory-lean opt-in); 'ct' = XLA Cooley-Tukey reference path
+    stft_method: str = "auto"  # 'auto'|'fft'|'dft'|'ct'|'ct_pallas'|'pallas'
 
     @property
     def num_samples(self) -> int:

@@ -41,10 +41,12 @@ def resolve_numerics(cfg, stft_method: str | None = None):
     cost: 1898 → 1527 clips/s at batch 128, vs 1123 exact).
 
     An explicit ``stft_method`` (argument or config) always wins over
-    'auto'; 'auto' picks the XLA DFT-matmul on TPU (no FFT lowering there)
-    and real FFT elsewhere.  The fused Pallas STFT stays an explicit opt-in
-    for memory-constrained batches (it never materializes the
-    (B, 1292, 2048) frame tensor in HBM).
+    'auto'; 'auto' picks the fused Cooley-Tukey Pallas kernel
+    (``tpuvae.ops.stft.stft_power_ct_pallas``) on TPU — measured 1.55×
+    (fast) / 2.0× (exact) over the dense DFT-matmul at the reference
+    geometry, v5e 2026-08-17 — and real FFT elsewhere; geometries the
+    kernel does not support (n_fft not a multiple of 256, or hop not
+    dividing n_fft) fall back to the dense DFT matmuls on TPU.
     """
     mode = getattr(cfg, "precision_mode", "exact")
     if mode not in ("exact", "fast"):
@@ -52,7 +54,12 @@ def resolve_numerics(cfg, stft_method: str | None = None):
     precision = HIGHEST if mode == "exact" else jax.lax.Precision.DEFAULT
     method = stft_method or getattr(cfg, "stft_method", "auto")
     if method == "auto":
-        method = "fft" if jax.default_backend() in ("cpu", "gpu") else "dft"
+        if jax.default_backend() in ("cpu", "gpu"):
+            method = "fft"
+        elif cfg.n_fft % 256 == 0 and cfg.n_fft % cfg.hop_length == 0:
+            method = "ct_pallas"
+        else:
+            method = "dft"
     return precision, method
 
 
@@ -141,29 +148,80 @@ def spectral_rolloff(
 # Time-domain features
 # -----------------------------------------------------------------------------
 
+def _overlap_block_sums(per_sample: jnp.ndarray, n_frames: int, ratio: int,
+                        hop_length: int) -> jnp.ndarray:
+    """Per-frame sums of a per-sample array over centered frames.
+
+    ``per_sample (B, n_blocks*hop)`` is summed per hop-block once, then frame
+    ``f`` (= blocks ``f..f+ratio-1``) is ``ratio`` adds of tiny (B, n_frames)
+    slices — the overlapping frame tensor (1.35 GB at B=128/30 s) never
+    materializes.  Requires ``hop | frame_length``.
+    """
+    b = per_sample.shape[0]
+    blocks = per_sample.reshape(b, -1, hop_length)
+    bsum = jnp.sum(blocks, axis=-1)
+    return sum(bsum[:, k : k + n_frames] for k in range(ratio))
+
+
 def zero_crossing_rate(
     y: jnp.ndarray, frame_length: int = 2048, hop_length: int = 512,
     threshold: float = 1e-10,
 ) -> jnp.ndarray:
     """librosa.feature.zero_crossing_rate → (B, T).
 
-    Center pads with edge values, frames, zeroes tiny samples, counts signbit
-    changes per frame (first slot is the pad=False constant).
+    Center pads with edge values, zeroes tiny samples, counts signbit
+    changes per frame (first slot is the pad=False constant).  Crossings are
+    computed once on the flat padded signal and aggregated per frame with
+    hop-block sums — exact, without framing the signal.
     """
-    frames = prim.frame_signal(y, frame_length, hop_length, pad_mode="edge")
-    z = jnp.where(jnp.abs(frames) <= threshold, 0.0, frames)
-    sign = jnp.signbit(z)
-    crossings = sign[..., 1:] != sign[..., :-1]
-    # pad=False contributes a leading False before the mean over frame_length
-    return jnp.sum(crossings, axis=-1).astype(jnp.float32) / frame_length
+    if frame_length % hop_length:
+        frames = prim.frame_signal(y, frame_length, hop_length,
+                                   pad_mode="edge")
+        z = jnp.where(jnp.abs(frames) <= threshold, 0.0, frames)
+        sign = jnp.signbit(z)
+        crossings = sign[..., 1:] != sign[..., :-1]
+        return jnp.sum(crossings, axis=-1).astype(jnp.float32) / frame_length
+    b, t = y.shape
+    half = frame_length // 2
+    ratio = frame_length // hop_length
+    n = prim.num_frames(t, hop_length)
+    need = (n - 1 + ratio) * hop_length
+    y_pad = jnp.pad(y, ((0, 0), (half, half)), mode="edge")
+    if y_pad.shape[1] < need:
+        y_pad = jnp.pad(y_pad, ((0, 0), (0, need - y_pad.shape[1])),
+                        mode="edge")
+    y_pad = y_pad[:, :need]
+    sign = jnp.signbit(jnp.where(jnp.abs(y_pad) <= threshold, 0.0, y_pad))
+    c = (sign[:, 1:] != sign[:, :-1]).astype(jnp.float32)
+    c = jnp.pad(c, ((0, 0), (0, 1)))
+    # frame f sums c[hop*f .. hop*f + frame_length - 1): four block sums
+    # minus the one c entry past the frame's last sample pair
+    count = _overlap_block_sums(c, n, ratio, hop_length)
+    last_col = c.reshape(b, -1, hop_length)[:, :, hop_length - 1]
+    count = count - last_col[:, ratio - 1 : ratio - 1 + n]
+    return count / frame_length
 
 
 def rms(
     y: jnp.ndarray, frame_length: int = 2048, hop_length: int = 512
 ) -> jnp.ndarray:
-    """librosa.feature.rms (center, zero padding) → (B, T)."""
-    frames = prim.frame_signal(y, frame_length, hop_length, pad_mode="constant")
-    return jnp.sqrt(jnp.mean(frames**2, axis=-1))
+    """librosa.feature.rms (center, zero padding) → (B, T).
+
+    Exact via hop-block partial sums of ``y**2`` (frames tile into
+    ``frame_length // hop`` blocks) — no frame tensor in HBM.
+    """
+    if frame_length % hop_length:
+        frames = prim.frame_signal(y, frame_length, hop_length,
+                                   pad_mode="constant")
+        return jnp.sqrt(jnp.mean(frames**2, axis=-1))
+    b, t = y.shape
+    half = frame_length // 2
+    ratio = frame_length // hop_length
+    n = prim.num_frames(t, hop_length)
+    need = (n - 1 + ratio) * hop_length
+    y_pad = jnp.pad(y, ((0, 0), (half, max(0, need - t - half))))[:, :need]
+    fsum = _overlap_block_sums(y_pad * y_pad, n, ratio, hop_length)
+    return jnp.sqrt(fsum / frame_length)
 
 
 # -----------------------------------------------------------------------------

@@ -87,6 +87,67 @@ def _dft_basis(n_fft: int) -> tuple[np.ndarray, np.ndarray]:
     return np.cos(ang).astype(np.float32), (-np.sin(ang)).astype(np.float32)
 
 
+_CT_N2 = 128  # inner (MXU-contraction) DFT length of the Cooley-Tukey path
+
+
+@functools.lru_cache(maxsize=4)
+def _ct_basis(n_fft: int):
+    """Constant matrices for the two-stage Cooley-Tukey real DFT.
+
+    Decomposition (four-step FFT): with ``n = n1 + N1*n2`` and
+    ``k = k2 + N2*k1`` (N2 = 128 inner bins, N1 = n_fft/128 outer),
+
+      X[k2 + N2*k1] = sum_n1 W_N1^{n1*k1} * W_N^{n1*k2}
+                      * sum_n2 x[n1 + N1*n2] * W_N2^{n2*k2}
+
+    so the inner stage is a real (.., 128) @ (128, 128) MXU matmul and the
+    outer stage a tiny complex contraction over N1.  Only ``K1 = N1/2 + 1``
+    outer rows are evaluated — enough to cover the n_fft//2+1 real bins.
+    All constants are built in float64 and cast once.
+    """
+    n2 = _CT_N2
+    n1 = n_fft // n2
+    k1 = n1 // 2 + 1
+    a = np.arange(n2, dtype=np.float64)
+    inner = 2.0 * np.pi * a[:, None] * a[None, :] / n2       # (n2, k2)
+    f = np.arange(n1, dtype=np.float64)
+    tw = 2.0 * np.pi * f[:, None] * a[None, :] / n_fft       # (n1, k2)
+    out = 2.0 * np.pi * f[:, None] * np.arange(k1)[None, :] / n1  # (n1, k1)
+    f32 = lambda x: x.astype(np.float32)  # noqa: E731
+    return (
+        f32(np.cos(inner)), f32(-np.sin(inner)),
+        f32(np.cos(tw)), f32(-np.sin(tw)),
+        f32(np.cos(out)), f32(-np.sin(out)),
+    )
+
+
+def _stft_power_ct(frames: jnp.ndarray, n_fft: int, precision) -> jnp.ndarray:
+    """Power spectrum of windowed ``frames (B, T, n_fft)`` → (B, T, n_bins).
+
+    Two-stage Cooley-Tukey DFT evaluated as matmuls: ~7x fewer MXU FLOPs
+    than the dense (n_fft, n_bins) real-DFT basis at n_fft=2048, and the
+    short (128-term) inner dots accumulate less rounding noise than one
+    2048-term dot at the same matmul precision.
+    """
+    n2 = _CT_N2
+    n1 = n_fft // n2
+    cre, cim, twre, twim, ere, eim = (jnp.asarray(m) for m in _ct_basis(n_fft))
+    kw = dict(preferred_element_type=jnp.float32, precision=precision)
+    fr = frames.reshape(*frames.shape[:-1], n2, n1)  # [..., n2, n1]
+    b1re = jnp.einsum("...nf,nk->...fk", fr, cre, **kw)
+    b1im = jnp.einsum("...nf,nk->...fk", fr, cim, **kw)
+    c_re = b1re * twre - b1im * twim
+    c_im = b1re * twim + b1im * twre
+    xre = (jnp.einsum("...fk,fl->...kl", c_re, ere, **kw)
+           - jnp.einsum("...fk,fl->...kl", c_im, eim, **kw))
+    xim = (jnp.einsum("...fk,fl->...kl", c_re, eim, **kw)
+           + jnp.einsum("...fk,fl->...kl", c_im, ere, **kw))
+    power = xre * xre + xim * xim                    # [..., k2, k1]
+    k1 = n1 // 2 + 1
+    power = jnp.swapaxes(power, -1, -2).reshape(*frames.shape[:-1], k1 * n2)
+    return power[..., : n_fft // 2 + 1]
+
+
 def stft_power(
     y: jnp.ndarray,
     n_fft: int = 2048,
@@ -101,7 +162,11 @@ def stft_power(
 
     ``method='fft'`` uses XLA's FFT; ``method='dft'`` evaluates the real DFT
     as two dense matmuls against a cos/sin basis so the work lands on the TPU
-    MXU.  ``'pallas'`` uses the fused framing+window+DFT Pallas kernel
+    MXU; ``method='ct'`` factors the DFT into a two-stage Cooley-Tukey
+    matmul chain (inner 128-point real DFT on the MXU, tiny outer complex
+    stage) — same numerics contract at ~7x fewer matmul FLOPs, requires
+    ``n_fft`` a multiple of 256.  ``'pallas'`` uses the fused
+    framing+window+DFT Pallas kernel
     (``tpuvae.ops.stft``) — it streams frames through VMEM without ever
     materializing the (B, n_frames, n_fft) tensor in HBM (1.35 GB at
     B=128×30 s), and is 1.25× faster than fp32-pinned 'dft' but ~9% slower
@@ -121,11 +186,25 @@ def stft_power(
         from tpuvae.ops.stft import stft_power_pallas
 
         return stft_power_pallas(y, n_fft, hop_length, pad_mode=pad_mode)
+    if method == "ct_pallas":
+        from tpuvae.ops.stft import stft_power_ct_pallas
+
+        return stft_power_ct_pallas(
+            y, n_fft, hop_length, pad_mode=pad_mode,
+            exact=precision == jax.lax.Precision.HIGHEST,
+        )
     if window is None:
         window = hann_window(n_fft)
     frames = frame_signal(y, n_fft, hop_length, pad_mode=pad_mode)
     frames = frames * jnp.asarray(window)[None, None, :]
-    if method == "dft":
+    if method == "ct":
+        if n_fft % (2 * _CT_N2):
+            raise ValueError(
+                f"method='ct' requires n_fft to be a multiple of "
+                f"{2 * _CT_N2}; got {n_fft} (use 'dft' or 'fft')"
+            )
+        power = _stft_power_ct(frames, n_fft, precision)
+    elif method == "dft":
         cos_b, sin_b = _dft_basis(n_fft)
         re = jnp.einsum(
             "btn,nk->btk", frames, jnp.asarray(cos_b),
