@@ -68,3 +68,27 @@ def test_pallas_stft_rejects_bad_hop():
 
     with _pytest.raises(ValueError, match="hop"):
         stft_power_pallas(jnp.zeros((1, 4096)), n_fft=2048, hop_length=500)
+
+
+def test_masked_median_pallas_matches_reference():
+    import jax.numpy as jnp
+
+    from tpuvae.dsp.chroma import _masked_median
+    from tpuvae.ops.select import masked_median_batch
+
+    rng = np.random.default_rng(3)
+    vals = rng.normal(size=(5, 1000)).astype(np.float32) * 100
+    mask = rng.random((5, 1000)) < 0.3
+    mask[3] = False           # empty mask → 0.0
+    mask[4, :1] = True        # single element
+    mask[4, 1:] = False
+    got = np.asarray(masked_median_batch(jnp.asarray(vals), jnp.asarray(mask)))
+    want = np.asarray([
+        _masked_median(jnp.asarray(vals[i]), jnp.asarray(mask[i]))
+        for i in range(5)
+    ])
+    np.testing.assert_allclose(got, want, rtol=0, atol=0)
+    # also against numpy median directly
+    for i in range(3):
+        np.testing.assert_allclose(got[i], np.median(vals[i][mask[i]]),
+                                   rtol=1e-6)

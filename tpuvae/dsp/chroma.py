@@ -178,23 +178,16 @@ def _masked_median(values: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(n > 0, 0.5 * (v_lo + v_hi), 0.0)
 
 
-def estimate_tuning_from_power(
-    s_power: jnp.ndarray,
-    sr: int,
-    n_fft: int,
-    resolution: float = 0.01,
-    bins_per_octave: int = 12,
-) -> jnp.ndarray:
-    """librosa.estimate_tuning for one clip → scalar in [-0.5, 0.5) bins.
+def _tuning_candidates(s_power: jnp.ndarray, sr: int, n_fft: int):
+    """Banded piptrack candidates for one clip → (pitches, mags, mask).
 
-    Banded evaluation: pitch candidates only exist on rows whose center
-    frequency lies in piptrack's [150, 4000) Hz window — ~360 of 1025 rows
-    at the reference geometry — so the expensive stages (the 32-round
-    masked-median search and the 100-bin histogram, together ~2/3 of the
-    whole 370-d extraction pipeline on TPU before this change) run on the
-    sliced band only.  One margin row on each side supplies the local-max /
-    parabolic-interpolation neighbors; the threshold reference max spans
-    the FULL column, so results are bit-identical to the unbanded form.
+    Pitch candidates only exist on rows whose center frequency lies in
+    piptrack's [150, 4000) Hz window — ~360 of 1025 rows at the reference
+    geometry — so the expensive stages (median selection, histogram) run on
+    the sliced band only.  One margin row on each side supplies the
+    local-max / parabolic-interpolation neighbors; the threshold reference
+    max spans the FULL column, so results are bit-identical to the unbanded
+    form.
     """
     fmin, fmax, threshold = 150.0, 4000.0, 0.1  # librosa piptrack defaults
     n_rows = s_power.shape[0]
@@ -206,8 +199,12 @@ def estimate_tuning_from_power(
         s_power[lo:hi], sr, n_fft, fmin=fmin, fmax=fmax,
         ref_value=ref_value, row_offset=lo,
     )
-    pitch_mask = pitches > 0
-    thresh = _masked_median(mags, pitch_mask)
+    return pitches, mags, pitches > 0
+
+
+def _tuning_vote(pitches, mags, pitch_mask, thresh,
+                 resolution: float, bins_per_octave: int) -> jnp.ndarray:
+    """Histogram vote over threshold-passing candidates → tuning scalar."""
     sel = pitch_mask & (mags >= thresh)
 
     safe_pitch = jnp.where(sel, pitches, 440.0)  # dummy value, masked out below
@@ -232,6 +229,48 @@ def estimate_tuning_from_power(
     counts = jnp.sum(bucket_sel.reshape(-1, 1) == bins[None, :], axis=0)
     tuning = jnp.asarray(edges[:-1])[jnp.argmax(counts)]
     return jnp.where(jnp.any(sel), tuning, 0.0)
+
+
+def estimate_tuning_from_power(
+    s_power: jnp.ndarray,
+    sr: int,
+    n_fft: int,
+    resolution: float = 0.01,
+    bins_per_octave: int = 12,
+) -> jnp.ndarray:
+    """librosa.estimate_tuning for one clip → scalar in [-0.5, 0.5) bins."""
+    pitches, mags, mask = _tuning_candidates(s_power, sr, n_fft)
+    thresh = _masked_median(mags, mask)
+    return _tuning_vote(pitches, mags, mask, thresh, resolution,
+                        bins_per_octave)
+
+
+def estimate_tuning_batch(
+    s_power: jnp.ndarray,
+    sr: int,
+    n_fft: int,
+    resolution: float = 0.01,
+    bins_per_octave: int = 12,
+) -> jnp.ndarray:
+    """Batched tuning estimation ``(B, n_bins, T) → (B,)``.
+
+    Same numerics as :func:`estimate_tuning_from_power` per clip, but the
+    masked-median threshold runs through the single-HBM-pass Pallas
+    selection kernel (``tpuvae.ops.select``) instead of 32 XLA counting
+    rounds — the median was the costliest step of the whole 370-d feature
+    pipeline on TPU.
+    """
+    from tpuvae.ops.select import masked_median_batch
+
+    pitches, mags, mask = jax.vmap(
+        lambda s: _tuning_candidates(s, sr, n_fft)
+    )(s_power)
+    b = mags.shape[0]
+    thresh = masked_median_batch(mags.reshape(b, -1), mask.reshape(b, -1))
+    return jax.vmap(
+        lambda p, m, msk, t: _tuning_vote(p, m, msk, t, resolution,
+                                          bins_per_octave)
+    )(pitches, mags, mask, thresh)
 
 
 def chroma_from_power(
@@ -262,8 +301,18 @@ def chroma_batch(
     s_power: jnp.ndarray, sr: int, n_fft: int, n_chroma: int = 12, tuning=None,
     precision=None,
 ) -> jnp.ndarray:
-    """Batched chroma ``(B, n_bins, T) → (B, n_chroma, T)`` via vmap."""
+    """Batched chroma ``(B, n_bins, T) → (B, n_chroma, T)``.
+
+    ``tuning=None`` estimates per-clip tuning through the batched Pallas
+    median-selection path; a scalar/array ``tuning`` is broadcast per clip.
+    """
+    if tuning is None:
+        tuning_b = estimate_tuning_batch(s_power, sr, n_fft,
+                                         bins_per_octave=n_chroma)
+    else:
+        tuning_b = jnp.broadcast_to(jnp.asarray(tuning, jnp.float32),
+                                    (s_power.shape[0],))
     return jax.vmap(
-        lambda s: chroma_from_power(s, sr, n_fft, n_chroma=n_chroma,
-                                    tuning=tuning, precision=precision)
-    )(s_power)
+        lambda s, t: chroma_from_power(s, sr, n_fft, n_chroma=n_chroma,
+                                       tuning=t, precision=precision)
+    )(s_power, tuning_b)
