@@ -92,3 +92,26 @@ def test_masked_median_pallas_matches_reference():
     for i in range(3):
         np.testing.assert_allclose(got[i], np.median(vals[i][mask[i]]),
                                    rtol=1e-6)
+
+
+def test_fused_tuning_kernel_matches_staged_path():
+    import jax
+    import jax.numpy as jnp
+
+    import tpuvae.dsp.chroma as C
+    import tpuvae.dsp.primitives as prim
+    from tpuvae.ops.tuning import estimate_tuning_pallas
+
+    rng = np.random.default_rng(11)
+    t = np.arange(44100) / 22050.0
+    clips = []
+    for _ in range(4):
+        f0 = 220 * 2 ** rng.uniform(-0.5, 0.5)
+        sig = sum(np.sin(2 * np.pi * f0 * (k + 1) * t + rng.uniform(0, 6))
+                  / (k + 1) for k in range(4))
+        clips.append((sig + 0.1 * rng.normal(size=t.shape)).astype(np.float32))
+    sp = prim.stft_power(jnp.asarray(np.stack(clips)), 2048, 512)
+    want = np.asarray(jax.vmap(
+        lambda s: C.estimate_tuning_from_power(s, 22050, 2048))(sp))
+    got = np.asarray(estimate_tuning_pallas(sp, 22050, 2048))
+    np.testing.assert_array_equal(got, want)

@@ -254,12 +254,23 @@ def estimate_tuning_batch(
 ) -> jnp.ndarray:
     """Batched tuning estimation ``(B, n_bins, T) → (B,)``.
 
-    Same numerics as :func:`estimate_tuning_from_power` per clip, but the
-    masked-median threshold runs through the single-HBM-pass Pallas
-    selection kernel (``tpuvae.ops.select``) instead of 32 XLA counting
-    rounds — the median was the costliest step of the whole 370-d feature
-    pipeline on TPU.
+    Same numerics as :func:`estimate_tuning_from_power` per clip.  On TPU
+    the whole chain (piptrack, masked-median threshold, histogram vote)
+    runs as ONE fused Pallas kernel over the VMEM-resident band
+    (``tpuvae.ops.tuning``) — the staged XLA version re-reads the band from
+    HBM at every stage and every median-search round and was the costliest
+    step of the whole 370-d feature pipeline.  Elsewhere, the staged path
+    runs with the masked median through the Pallas selection kernel
+    (``tpuvae.ops.select``, exact, interpretable on CPU).
     """
+    if jax.default_backend() not in ("cpu", "gpu"):
+        from tpuvae.ops.tuning import estimate_tuning_pallas
+
+        return estimate_tuning_pallas(
+            s_power, sr, n_fft, resolution=resolution,
+            bins_per_octave=bins_per_octave,
+        )
+
     from tpuvae.ops.select import masked_median_batch
 
     pitches, mags, mask = jax.vmap(

