@@ -85,7 +85,10 @@ class PreprocessConfig(_ConfigBase):
     dataset_root: str = "Datasets"
     metadata_csv: str = "Datasets/updated_metadata.csv"
     output_dir: str = "processed_data1"
-    extract_batch: int = 32  # clips per device batch during extraction
+    # clips per device batch during extraction; 128 measured ~25% faster
+    # than 32 on v5e (fixed per-dispatch costs amortize), still far under
+    # HBM at the reference clip geometry
+    extract_batch: int = 128
     # 'fast' runs DSP matmuls at the TPU-native bf16 pass (~25% faster
     # extraction; feature error bounded by tests/test_dsp.py); 'exact'
     # pins fp32-accurate matmuls everywhere for strict parity work.
@@ -125,7 +128,7 @@ class AdvancedPreprocessConfig(_ConfigBase):
     output_dir: str = "processed_data2"
     text_model: str = "sentence-transformers/paraphrase-multilingual-mpnet-base-v2"
     text_dim: int = 768
-    extract_batch: int = 16
+    extract_batch: int = 64  # hi-res mel images: bigger outputs than basic
     precision_mode: str = "fast"   # see PreprocessConfig.precision_mode
     stft_method: str = "auto"
 

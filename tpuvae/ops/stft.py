@@ -281,7 +281,17 @@ def _make_ct_kernel(ratio: int, n1r: int, span_rows: int, exact: bool):
             xim = dot3(tre, cim_ref) + dot3(tim, cre_ref)
 
         power = xre * xre + xim * xim                  # (n1r*F, CT_K2)
-        out_ref[0] = power.reshape(n1r, F_BLOCK, CT_K2)
+        # emit directly in bin order: rows k2*n1r + k1 = bin k1 + n1r*k2
+        # (pad bins k2 >= 65 land contiguously past row 65*n1r and are
+        # sliced off by the caller) — saves two XLA transposes over the
+        # full spectrogram per batch
+        pt = power.T                                   # (CT_K2, n1r*F)
+        parts = [
+            pt[:, k1 * F_BLOCK : (k1 + 1) * F_BLOCK] for k1 in range(n1r)
+        ]
+        out_ref[0] = jnp.stack(parts, axis=1).reshape(
+            CT_K2 * n1r, F_BLOCK
+        )
 
     return kernel
 
@@ -335,11 +345,11 @@ def _ct_inner_pallas(y_rows, w, twre, twim, cre, cim, ratio: int, n1r: int,
             const_spec(cre), const_spec(cim),
         ],
         out_specs=pl.BlockSpec(
-            (1, n1r, F_BLOCK, CT_K2), lambda b_, f_: (b_, 0, f_, 0),
+            (1, CT_K2 * n1r, F_BLOCK), lambda b_, f_: (b_, 0, f_),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (b, n1r, n_blocks * F_BLOCK, CT_K2), jnp.float32
+            (b, CT_K2 * n1r, n_blocks * F_BLOCK), jnp.float32
         ),
         scratch_shapes=[
             pltpu.VMEM((span_rows, hop), jnp.float32),
@@ -392,7 +402,6 @@ def stft_power_ct_pallas(
         ratio=ratio, n1r=n1r, n_blocks=n_blocks, exact=exact,
         interpret=interpret,
     )
-    # bins k = k1 + n1r*k2 ⇒ flattening (k2-major, k1-minor) is bin order
-    p = jnp.transpose(p[:, :, :n_frames, :65], (0, 2, 3, 1))
-    spec = p.reshape(b, n_frames, 65 * n1r)[..., : n_fft // 2 + 1]
-    return jnp.transpose(spec, (0, 2, 1))
+    # the kernel emits rows in bin order (k = k1 + n1r*k2, k2-major); pad
+    # bins (k2 >= 65) sit past row 65*n1r — just slice
+    return p[:, : n_fft // 2 + 1, :n_frames]
