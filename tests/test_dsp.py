@@ -77,6 +77,27 @@ def test_stft_ct_pallas_exact_mode_and_rejects_bad_geometry(audio_batch):
         stft_power_ct_pallas(jnp.asarray(y[:1]), 2048, 700)
 
 
+def test_stft_ct_pallas_fast_mode_bf16x3(audio_batch):
+    """The production fast path (exact=False: bf16 hi/lo split operands and
+    split-basis constants) — looser tolerance than exact, still bounded."""
+    from tpuvae.ops.stft import stft_power_ct_pallas
+
+    y, sr = audio_batch
+    a = np.asarray(stft_power(jnp.asarray(y[:2]), N_FFT, HOP, method="fft"))
+    b = np.asarray(stft_power_ct_pallas(jnp.asarray(y[:2]), N_FFT, HOP,
+                                        exact=False))
+    assert np.max(np.abs(a - b) / (np.abs(a) + 1e-3)) < 2e-2
+
+
+def test_stft_kernel_methods_reject_custom_window(audio_batch):
+    y, sr = audio_batch
+    w = np.ones(N_FFT, np.float32)
+    for method in ("pallas", "ct_pallas"):
+        with pytest.raises(ValueError):
+            stft_power(jnp.asarray(y[:1]), N_FFT, HOP, method=method,
+                       window=w)
+
+
 def test_stft_small_against_direct_dft(rng):
     """Tiny n_fft sanity check against a literal O(n^2) DFT."""
     y = rng.standard_normal((1, 256)).astype(np.float32)

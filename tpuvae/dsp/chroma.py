@@ -178,25 +178,36 @@ def _masked_median(values: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(n > 0, 0.5 * (v_lo + v_hi), 0.0)
 
 
+# librosa piptrack defaults — shared with the fused TPU tuning kernel
+# (tpuvae.ops.tuning) so the two paths cannot diverge
+PIPTRACK_FMIN = 150.0
+PIPTRACK_FMAX = 4000.0
+PIPTRACK_THRESHOLD = 0.1
+
+
+def piptrack_band(sr: int, n_fft: int, n_rows: int) -> tuple[int, int]:
+    """[lo, hi) row bounds of the piptrack candidate band, with one margin
+    row each side for the local-max / parabolic-interpolation neighbors."""
+    freqs = fft_frequencies(sr, n_fft)
+    lo = max(int(np.searchsorted(freqs, PIPTRACK_FMIN, side="left")) - 1, 0)
+    hi = min(int(np.searchsorted(freqs, PIPTRACK_FMAX, side="left")) + 1,
+             n_rows)
+    return lo, hi
+
+
 def _tuning_candidates(s_power: jnp.ndarray, sr: int, n_fft: int):
     """Banded piptrack candidates for one clip → (pitches, mags, mask).
 
     Pitch candidates only exist on rows whose center frequency lies in
     piptrack's [150, 4000) Hz window — ~360 of 1025 rows at the reference
     geometry — so the expensive stages (median selection, histogram) run on
-    the sliced band only.  One margin row on each side supplies the
-    local-max / parabolic-interpolation neighbors; the threshold reference
-    max spans the FULL column, so results are bit-identical to the unbanded
-    form.
+    the sliced band only.  The threshold reference max spans the FULL
+    column, so results are bit-identical to the unbanded form.
     """
-    fmin, fmax, threshold = 150.0, 4000.0, 0.1  # librosa piptrack defaults
-    n_rows = s_power.shape[0]
-    freqs = fft_frequencies(sr, n_fft)
-    lo = max(int(np.searchsorted(freqs, fmin, side="left")) - 1, 0)
-    hi = min(int(np.searchsorted(freqs, fmax, side="left")) + 1, n_rows)
-    ref_value = threshold * jnp.max(s_power, axis=0, keepdims=True)
+    lo, hi = piptrack_band(sr, n_fft, s_power.shape[0])
+    ref_value = PIPTRACK_THRESHOLD * jnp.max(s_power, axis=0, keepdims=True)
     pitches, mags = piptrack_from_power(
-        s_power[lo:hi], sr, n_fft, fmin=fmin, fmax=fmax,
+        s_power[lo:hi], sr, n_fft, fmin=PIPTRACK_FMIN, fmax=PIPTRACK_FMAX,
         ref_value=ref_value, row_offset=lo,
     )
     return pitches, mags, pitches > 0

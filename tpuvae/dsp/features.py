@@ -56,10 +56,12 @@ def resolve_numerics(cfg, stft_method: str | None = None):
     if method == "auto":
         if jax.default_backend() in ("cpu", "gpu"):
             method = "fft"
-        elif cfg.n_fft % 256 == 0 and cfg.n_fft % cfg.hop_length == 0:
-            method = "ct_pallas"
         else:
-            method = "dft"
+            from tpuvae.ops.stft import ct_pallas_supports
+
+            method = ("ct_pallas"
+                      if ct_pallas_supports(cfg.n_fft, cfg.hop_length)
+                      else "dft")
     return precision, method
 
 

@@ -182,11 +182,16 @@ def stft_power(
         precision = jax.lax.Precision.HIGHEST
     if method == "auto":
         method = "dft" if jax.default_backend() not in ("cpu", "gpu") else "fft"
-    if method == "pallas":
-        from tpuvae.ops.stft import stft_power_pallas
+    if method in ("pallas", "ct_pallas"):
+        if window is not None:
+            raise ValueError(
+                f"method={method!r} bakes in the hann window; custom "
+                f"window= is only supported by 'fft'/'dft'/'ct'"
+            )
+        if method == "pallas":
+            from tpuvae.ops.stft import stft_power_pallas
 
-        return stft_power_pallas(y, n_fft, hop_length, pad_mode=pad_mode)
-    if method == "ct_pallas":
+            return stft_power_pallas(y, n_fft, hop_length, pad_mode=pad_mode)
         from tpuvae.ops.stft import stft_power_ct_pallas
 
         return stft_power_ct_pallas(

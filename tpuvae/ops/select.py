@@ -82,7 +82,9 @@ def masked_median_batch(
     from tpuvae.dsp.chroma import _float_order_key, _key_to_float
 
     if interpret is None:
-        interpret = jax.default_backend() == "cpu"
+        from tpuvae.ops.stft import _interpret_default
+
+        interpret = _interpret_default()
     b, n = values.shape
     packed = jnp.where(
         mask, _float_order_key(values), jnp.uint32(0xFFFFFFFF)

@@ -34,6 +34,41 @@ def _round_up(v: int, m: int) -> int:
     return -(-v // m) * m
 
 
+def _interpret_default() -> bool:
+    """Mosaic kernels only compile for TPU — interpret everywhere else."""
+    return jax.default_backend() in ("cpu", "gpu")
+
+
+def _hop_rows_for_frames(y, n_fft: int, hop_length: int, n_rows: int,
+                         pad_mode: str):
+    """Center-pad ``y (B, T)`` and view it as ``n_rows`` hop-sized rows."""
+    b = y.shape[0]
+    half = n_fft // 2
+    need = n_rows * hop_length
+    y_pad = jnp.pad(y, ((0, 0), (half, half)), mode=pad_mode)
+    if y_pad.shape[1] < need:
+        y_pad = jnp.pad(y_pad, ((0, 0), (0, need - y_pad.shape[1])))
+    return y_pad[:, :need].reshape(b, n_rows, hop_length)
+
+
+def _frames_from_span(span, span_rows: int, ratio: int):
+    """(F_BLOCK, n_fft) frame matrix from hop-sized VMEM rows.
+
+    Frame ``f`` = rows ``f..f+ratio-1``; rows are realigned with
+    ``pltpu.roll`` since Mosaic rejects offset sublane slices feeding a
+    lane-concat.
+    """
+    return jnp.concatenate(
+        [
+            (span if k == 0 else pltpu.roll(span, span_rows - k, 0))[
+                :F_BLOCK, :
+            ]
+            for k in range(ratio)
+        ],
+        axis=-1,
+    )
+
+
 def _make_kernel(hop: int, ratio: int, span_rows: int):
     def kernel(y_hbm, cos_ref, sin_ref, out_ref, span_ref, frames_ref, sem):
         b = pl.program_id(0)
@@ -42,27 +77,15 @@ def _make_kernel(hop: int, ratio: int, span_rows: int):
 
         @pl.when(kb == 0)
         def _():
-            # span_rows is 8-aligned (DMA slices must match VMEM tiling)
+            # span_rows is 8-aligned (DMA slices must match VMEM tiling);
+            # the frame matrix is built ONCE per frame-block (scratch
+            # persists across the kb grid steps)
             copy = pltpu.make_async_copy(
                 y_hbm.at[b, pl.ds(fb * F_BLOCK, span_rows)], span_ref, sem
             )
             copy.start()
             copy.wait()
-            # Build the frame matrix ONCE per frame-block (scratch persists
-            # across the kb grid steps).  frame f = rows f..f+ratio-1; rows
-            # are realigned with pltpu.roll since Mosaic rejects offset
-            # sublane slices feeding a lane-concat.
-            span = span_ref[:]
-            rows = span.shape[0]
-            frames_ref[:] = jnp.concatenate(
-                [
-                    (span if k == 0 else pltpu.roll(span, rows - k, 0))[
-                        :F_BLOCK, :
-                    ]
-                    for k in range(ratio)
-                ],
-                axis=-1,
-            )
+            frames_ref[:] = _frames_from_span(span_ref[:], span_rows, ratio)
 
         # hann window pre-folded into the cos/sin basis rows
         frames = frames_ref[:]
@@ -122,21 +145,16 @@ def stft_power_pallas(
     if n_fft % hop_length:
         raise ValueError("pallas STFT requires hop_length | n_fft")
     if interpret is None:
-        interpret = jax.default_backend() == "cpu"
+        interpret = _interpret_default()
     y = jnp.asarray(y, jnp.float32)
     b, t = y.shape
-    half = n_fft // 2
     ratio = n_fft // hop_length
     n_frames = prim.num_frames(t, hop_length)
     n_frames_pad = _round_up(n_frames, F_BLOCK)
     # rows needed so every block's 8-aligned span is in range
-    span_rows = -(-(F_BLOCK + ratio - 1) // 8) * 8
+    span_rows = _round_up(F_BLOCK + ratio - 1, 8)
     n_rows = n_frames_pad + (span_rows - F_BLOCK)
-    y_pad = jnp.pad(y, ((0, 0), (half, half)), mode=pad_mode)
-    need = n_rows * hop_length
-    if y_pad.shape[1] < need:
-        y_pad = jnp.pad(y_pad, ((0, 0), (0, need - y_pad.shape[1])))
-    y_rows = y_pad[:, :need].reshape(b, n_rows, hop_length)
+    y_rows = _hop_rows_for_frames(y, n_fft, hop_length, n_rows, pad_mode)
 
     n_bins = n_fft // 2 + 1
     n_bins_pad = _round_up(n_bins, K_BLOCK)
@@ -186,6 +204,12 @@ CT_N2 = 128          # outer (MXU-contraction) DFT length
 CT_K2 = 72           # stored k2 bins: 65 valid + pad to a sublane multiple
 
 
+def ct_pallas_supports(n_fft: int, hop_length: int) -> bool:
+    """Geometry predicate for :func:`stft_power_ct_pallas` — the single
+    source of truth for 'auto' STFT-method selection."""
+    return n_fft % (2 * CT_N2) == 0 and n_fft % hop_length == 0
+
+
 def _ct_small_dft_coeffs(n1r: int):
     """(cos, -sin) coefficient tables (n1r, n1r//2+1) for the chunk DFT."""
     n1 = np.arange(n1r, dtype=np.float64)[:, None]
@@ -207,16 +231,7 @@ def _make_ct_kernel(ratio: int, n1r: int, span_rows: int, exact: bool):
         )
         copy.start()
         copy.wait()
-        span = span_ref[:]
-        frames = jnp.concatenate(
-            [
-                (span if k == 0 else pltpu.roll(span, span_rows - k, 0))[
-                    :F_BLOCK, :
-                ]
-                for k in range(ratio)
-            ],
-            axis=-1,
-        ) * w_ref[:]                                   # (F_BLOCK, n_fft)
+        frames = _frames_from_span(span_ref[:], span_rows, ratio) * w_ref[:]
         chunks = [
             frames[:, n1 * CT_N2 : (n1 + 1) * CT_N2] for n1 in range(n1r)
         ]
@@ -375,26 +390,21 @@ def stft_power_ct_pallas(
     runs the outer DFT matmuls at fp32 (Precision.HIGHEST) instead of bf16x3.
     """
     n1r = n_fft // CT_N2
-    if n_fft % (2 * CT_N2) or n_fft % hop_length:
+    if not ct_pallas_supports(n_fft, hop_length):
         raise ValueError(
             f"ct_pallas requires 256 | n_fft and hop | n_fft; got "
             f"n_fft={n_fft}, hop={hop_length}"
         )
     if interpret is None:
-        interpret = jax.default_backend() == "cpu"
+        interpret = _interpret_default()
     y = jnp.asarray(y, jnp.float32)
     b, t = y.shape
-    half = n_fft // 2
     ratio = n_fft // hop_length
     n_frames = prim.num_frames(t, hop_length)
     n_blocks = -(-n_frames // F_BLOCK)
     span_rows = _round_up(F_BLOCK + ratio - 1, 8)
     m_rows = (n_blocks - 1) * F_BLOCK + span_rows
-    need = m_rows * hop_length
-    y_pad = jnp.pad(y, ((0, 0), (half, half)), mode=pad_mode)
-    if y_pad.shape[1] < need:
-        y_pad = jnp.pad(y_pad, ((0, 0), (0, need - y_pad.shape[1])))
-    y_rows = y_pad[:, :need].reshape(b, m_rows, hop_length)
+    y_rows = _hop_rows_for_frames(y, n_fft, hop_length, m_rows, pad_mode)
 
     consts = _ct_pallas_consts(n_fft, exact)
     p = _ct_inner_pallas(

@@ -56,10 +56,10 @@ def _make_tuning_kernel(n_rows: int, n_frames: int, scale: float,
         mags = jnp.where(mask, s + dskew, 0.0)
 
         # --- exact masked median of mags (key-space binary search) ------
-        bits = jax.lax.bitcast_convert_type(mags, jnp.uint32)
-        key = jnp.where((bits >> 31) == 1, ~bits,
-                        bits | jnp.uint32(0x80000000))
-        packed = jnp.where(mask, key, jnp.uint32(0xFFFFFFFF))
+        from tpuvae.dsp.chroma import _float_order_key, _key_to_float
+
+        packed = jnp.where(mask, _float_order_key(mags),
+                           jnp.uint32(0xFFFFFFFF))
         ikey = jax.lax.bitcast_convert_type(
             packed ^ jnp.uint32(0x80000000), jnp.int32
         )
@@ -84,9 +84,7 @@ def _make_tuning_kernel(n_rows: int, n_frames: int, scale: float,
             u = jax.lax.bitcast_convert_type(
                 jnp.full((1, 1), ki, jnp.int32), jnp.uint32
             ) ^ jnp.uint32(0x80000000)
-            neg = (u >> 31) == 0
-            bb = jnp.where(neg, ~u, u & jnp.uint32(0x7FFFFFFF))
-            return jax.lax.bitcast_convert_type(bb, jnp.float32)
+            return _key_to_float(u)
 
         v_lo = key_to_float(klo_i)
         v_next = key_to_float(knext_i)
@@ -154,12 +152,13 @@ def _tuning_pallas(band, refmax, fmask, binsb, edges, scale: float,
 
 
 @functools.lru_cache(maxsize=8)
-def _tuning_consts(sr: int, n_fft: int, n_rows_total: int, resolution: float,
-                   fmin: float, fmax: float):
+def _tuning_consts(sr: int, n_fft: int, n_rows_total: int, resolution: float):
     """(lo8, r8, fmask (R,1), binsb (R,1), edges (n_bins,1), n_bins, binw)."""
+    from tpuvae.dsp.chroma import PIPTRACK_FMAX, PIPTRACK_FMIN, piptrack_band
+
+    fmin, fmax = PIPTRACK_FMIN, PIPTRACK_FMAX
+    lo, hi = piptrack_band(sr, n_fft, n_rows_total)
     freqs = fft_frequencies(sr, n_fft)
-    lo = max(int(np.searchsorted(freqs, fmin, side="left")) - 1, 0)
-    hi = min(int(np.searchsorted(freqs, fmax, side="left")) + 1, n_rows_total)
     lo8 = (lo // 8) * 8
     r8 = -(-(hi - lo8) // 8) * 8
     r8 = min(r8, n_rows_total - lo8)
@@ -188,12 +187,16 @@ def estimate_tuning_pallas(
     (librosa piptrack defaults: fmin=150, fmax=4000, threshold=0.1).
     """
     if interpret is None:
-        interpret = jax.default_backend() == "cpu"
+        from tpuvae.ops.stft import _interpret_default
+
+        interpret = _interpret_default()
     b, n_rows_total, t = s_power.shape
+    from tpuvae.dsp.chroma import PIPTRACK_THRESHOLD
+
     lo8, r8, fmask, binsb, edges, n_bins, binw = _tuning_consts(
-        sr, n_fft, n_rows_total, resolution, 150.0, 4000.0
+        sr, n_fft, n_rows_total, resolution
     )
-    refmax = 0.1 * jnp.max(s_power, axis=1, keepdims=True)
+    refmax = PIPTRACK_THRESHOLD * jnp.max(s_power, axis=1, keepdims=True)
     band = jax.lax.slice_in_dim(s_power, lo8, lo8 + r8, axis=1)
     out = _tuning_pallas(
         band, refmax, jnp.asarray(fmask), jnp.asarray(binsb),
