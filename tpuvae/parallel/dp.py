@@ -118,10 +118,13 @@ def make_dp_epoch(
         vdata = data[n_train_arrays:]
         lrng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
         perm = jax.random.permutation(jax.random.fold_in(lrng, 0), n_local)
+        # one whole-shard gather, then scan over the leading batch axis —
+        # per-step row-gathers or dynamic-slices inside the scan each pay a
+        # large fixed TPU cost (454 ms/epoch at the reference geometry; see
+        # train/loop.py)
+        shuffled = tuple(jnp.take(d, perm, axis=0) for d in tdata)
 
-        def train_step(st, idx, srng):
-            batch = tuple(jnp.take(d, idx, axis=0) for d in tdata)
-
+        def train_step(st, batch, srng):
             def compute(params):
                 variables = {"params": params, "batch_stats": st.batch_stats}
                 loss, aux, new_ms = loss_fn(st, variables, batch, srng, True)
@@ -137,20 +140,23 @@ def make_dp_epoch(
             return st, loss
 
         def body(carry, xs):
-            idx, i = xs
-            st, loss = train_step(carry, idx, jax.random.fold_in(lrng, 1 + i))
+            *batch, i = xs
+            st, loss = train_step(carry, tuple(batch),
+                                  jax.random.fold_in(lrng, 1 + i))
             return st, loss
 
         loss_local = jnp.float32(0.0)
         if steps:
-            perm_full = perm[: steps * local_bs].reshape(steps, local_bs)
-            state, losses = jax.lax.scan(
-                body, state, (perm_full, jnp.arange(steps))
-            )
+            xs = tuple(
+                d[: steps * local_bs].reshape(steps, local_bs, *d.shape[1:])
+                for d in shuffled
+            ) + (jnp.arange(steps),)
+            state, losses = jax.lax.scan(body, state, xs)
             loss_local = jnp.sum(losses)
         if rem:
             state, rloss = train_step(
-                state, perm[steps * local_bs:],
+                state,
+                tuple(d[steps * local_bs :] for d in shuffled),
                 jax.random.fold_in(lrng, 1 + steps),
             )
             loss_local = loss_local + rloss
@@ -160,21 +166,20 @@ def make_dp_epoch(
             variables = {"params": state.params,
                          "batch_stats": state.batch_stats}
 
-            def vbody(c, i):
-                start = i * local_bs
-                batch = tuple(
-                    jax.lax.dynamic_slice_in_dim(d, start, local_bs, 0)
-                    for d in vdata
-                )
-                loss, _, _ = loss_fn(state, variables, batch,
+            def vbody(c, xs):
+                *batch, i = xs
+                loss, _, _ = loss_fn(state, variables, tuple(batch),
                                      jax.random.fold_in(lrng, 10_000 + i),
                                      False)
                 return c + loss, None
 
             if vsteps:
-                val_local, _ = jax.lax.scan(
-                    vbody, jnp.float32(0.0), jnp.arange(vsteps)
-                )
+                vxs = tuple(
+                    d[: vsteps * local_bs].reshape(vsteps, local_bs,
+                                                   *d.shape[1:])
+                    for d in vdata
+                ) + (jnp.arange(vsteps),)
+                val_local, _ = jax.lax.scan(vbody, jnp.float32(0.0), vxs)
             if vrem:
                 batch = tuple(d[vsteps * local_bs:] for d in vdata)
                 loss, _, _ = loss_fn(state, variables, batch,
