@@ -139,3 +139,35 @@ def test_hybrid_pipeline_and_csv_union(preprocessed, small_cluster_cfg):
         "Simple VAE", "Conditional VAE", "Convolutional VAE",
     }
     assert {"Method", "Algorithm", "Silhouette"} <= set(csv.columns)
+
+
+def test_extract_skip_and_tally_with_corrupt_files(tmp_path):
+    """The prefetch loader preserves order and the skip-and-tally contract
+    (ref per-file try/except, 1_preprocessing.py:237-256) when some files
+    fail to decode."""
+    from tpuvae.io import generate_dataset
+    from tpuvae.pipelines import preprocess_basic
+
+    root = tmp_path / "Datasets"
+    generate_dataset(root, clips_per_genre_lang=2, duration=1.0,
+                     include_jazz=False, seed=3)
+    # corrupt two files: one truncated header, one garbage body
+    wavs = sorted(root.rglob("*.wav"))
+    assert len(wavs) >= 4
+    wavs[0].write_bytes(b"RIFF")
+    wavs[2].write_bytes(b"\x00" * 100)
+    cfg = PreprocessConfig(
+        duration=1.0, dataset_root=str(root),
+        metadata_csv=str(root / "updated_metadata.csv"),
+        output_dir=str(tmp_path / "out"), extract_batch=4,
+        max_samples_per_class=10,
+    )
+    logger = RunLogger(echo=False)
+    res = preprocess_basic(cfg, logger=logger)
+    feats = np.load(tmp_path / "out" / "features_normalized.npy")
+    meta = pd.read_csv(tmp_path / "out" / "metadata.csv")
+    assert feats.shape[0] == len(wavs) - 2
+    assert len(meta) == feats.shape[0]
+    # the corrupted files are absent from the surviving metadata
+    bad_names = {wavs[0].name, wavs[2].name}
+    assert not bad_names & set(meta["filename"].astype(str))

@@ -95,6 +95,38 @@ from tpuvae.viz import (
 # Shared extraction driver
 # -----------------------------------------------------------------------------
 
+def _prefetch_loaded(entries, load_one, window: int):
+    """Yield ``(entry, result_or_exception)`` in order, decoding up to
+    ``window`` clips ahead on a thread pool.
+
+    Host WAV decode runs concurrently with the (remote) device extraction
+    of the previous batch — the pipelined analog of the reference's joblib
+    worker pool (``1_preprocessing_advanced.py:286-288``).  The window
+    bounds host memory (``window`` decoded clips in flight).
+    """
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    workers = max(1, min(8, (os.cpu_count() or 1)))
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        pending: deque = deque()
+        it = iter(entries)
+        try:
+            while True:
+                while len(pending) < window:
+                    try:
+                        e = next(it)
+                    except StopIteration:
+                        raise
+                    pending.append((e, pool.submit(load_one, e)))
+                e, fut = pending.popleft()
+                yield e, fut
+        except StopIteration:
+            while pending:
+                e, fut = pending.popleft()
+                yield e, fut
+
+
 def _extract_batched(entries, extract_fn, cfg, mesh: MeshContext,
                      logger: RunLogger | None = None,
                      manifest=None, shard_keys: tuple = ("out",)):
@@ -132,9 +164,12 @@ def _extract_batched(entries, extract_fn, cfg, mesh: MeshContext,
         buf.clear()
         buf_entries.clear()
 
-    for e in entries:
+    def load_one(e):
+        return load_audio(e.path, cfg.sample_rate, cfg.duration)
+
+    for e, fut in _prefetch_loaded(entries, load_one, window=bs + bs // 2):
         try:
-            y = load_audio(e.path, cfg.sample_rate, cfg.duration)
+            y = fut.result()
         except Exception as exc:  # skip-and-tally contract
             failed.append((e.path, str(exc)))
             continue
