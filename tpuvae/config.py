@@ -128,7 +128,7 @@ class AdvancedPreprocessConfig(_ConfigBase):
     output_dir: str = "processed_data2"
     text_model: str = "sentence-transformers/paraphrase-multilingual-mpnet-base-v2"
     text_dim: int = 768
-    extract_batch: int = 64  # hi-res mel images: bigger outputs than basic
+    extract_batch: int = 128  # 2868 vs 2322 clips/s at B=64 (v5e measured)
     precision_mode: str = "fast"   # see PreprocessConfig.precision_mode
     stft_method: str = "auto"
 
