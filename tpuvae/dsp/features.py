@@ -234,6 +234,14 @@ def _mean_std(x: jnp.ndarray, axis: int = -1):
     return jnp.mean(x, axis=axis), jnp.std(x, axis=axis)
 
 
+def _require_batched(y: jnp.ndarray, fn_name: str) -> None:
+    if y.ndim != 2:
+        raise ValueError(
+            f"{fn_name} takes batched waveforms (B, num_samples); got shape "
+            f"{y.shape} — wrap single clips with y[None, :]"
+        )
+
+
 def extract_basic_features(
     y: jnp.ndarray, cfg: PreprocessConfig, *, stft_method: str | None = None
 ) -> jnp.ndarray:
@@ -243,6 +251,7 @@ def extract_basic_features(
              | (centroid, bandwidth, rolloff, zcr, rms) × (mean, std)
              | chroma mean(12) | chroma std(12)]
     """
+    _require_batched(y, "extract_basic_features")
     sr, n_fft, hop = cfg.sample_rate, cfg.n_fft, cfg.hop_length
     prec, method = resolve_numerics(cfg, stft_method)
     s_power = prim.stft_power(y, n_fft, hop, method=method,
@@ -284,6 +293,7 @@ def extract_mel_image(
     dB with per-clip ``ref=max``; the time axis is truncated to
     ``fixed_time_steps`` or right-padded with the clip's min dB value.
     """
+    _require_batched(y, "extract_mel_image")
     prec, method = resolve_numerics(cfg, stft_method)
     s_power = prim.stft_power(y, cfg.n_fft, cfg.hop_length, method=method,
                               precision=stft_precision_for(prec))
@@ -307,6 +317,7 @@ def extract_flat_features(
     """The 290-d vector of ``extract_flattened_features``
     (``1_preprocessing_advanced.py:120-156``) — like the basic vector but
     without MFCCs."""
+    _require_batched(y, "extract_flat_features")
     sr, n_fft, hop = cfg.sample_rate, cfg.n_fft, cfg.hop_length
     prec, method = resolve_numerics(cfg, stft_method)
     s_power = prim.stft_power(y, n_fft, hop, method=method,
@@ -346,6 +357,7 @@ def extract_advanced(
     the per-worker output pair of ``process_single_file``
     (``1_preprocessing_advanced.py:158-183``), fully batched.
     """
+    _require_batched(y, "extract_advanced")
     sr, n_fft, hop = cfg.sample_rate, cfg.n_fft, cfg.hop_length
     prec, method = resolve_numerics(cfg, stft_method)
     s_power = prim.stft_power(y, n_fft, hop, method=method,
