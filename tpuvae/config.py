@@ -131,6 +131,11 @@ class AdvancedPreprocessConfig(_ConfigBase):
     extract_batch: int = 128  # 2868 vs 2322 clips/s at B=64 (v5e measured)
     precision_mode: str = "fast"   # see PreprocessConfig.precision_mode
     stft_method: str = "auto"
+    # 'inmem' | 'stream' | 'auto': how the mel artifacts are assembled from
+    # extraction shards.  'stream' bounds host RAM to one shard + one chunk
+    # (tpuvae.io.assembly); 'auto' streams once the raw mel tensor exceeds
+    # 1 GiB.  'stream' requires resume=True (shards are the source).
+    assembly_mode: str = "auto"
 
     @property
     def num_samples(self) -> int:

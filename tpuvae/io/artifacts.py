@@ -50,8 +50,13 @@ def save_advanced(out_dir, *, mel_raw, mel_normalized, features_raw,
                   config) -> None:
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
-    np.save(out / "mel_spectrograms_raw.npy", np.asarray(mel_raw))
-    np.save(out / "mel_spectrograms_normalized.npy", np.asarray(mel_normalized))
+    # mel arrays may arrive as None when the streaming assembly
+    # (tpuvae.io.assembly) already wrote them memmap-backed into out_dir
+    if mel_raw is not None:
+        np.save(out / "mel_spectrograms_raw.npy", np.asarray(mel_raw))
+    if mel_normalized is not None:
+        np.save(out / "mel_spectrograms_normalized.npy",
+                np.asarray(mel_normalized))
     np.save(out / "features_raw.npy", np.asarray(features_raw))
     np.save(out / "features_normalized.npy", np.asarray(features_normalized))
     np.save(out / "lyrics_embeddings.npy", np.asarray(lyrics_embeddings))
@@ -66,7 +71,12 @@ def save_advanced(out_dir, *, mel_raw, mel_normalized, features_raw,
 
 def verify_roundtrip(out: Path, names: list[str]) -> None:
     for name in names:
-        arr = np.load(Path(out) / name, allow_pickle=True)
+        try:
+            # memory-mapped: the header carries the shape, so verification
+            # doesn't pull a dataset-sized artifact back into host RAM
+            arr = np.load(Path(out) / name, mmap_mode="r")
+        except ValueError:  # object arrays (e.g. string labels) can't mmap
+            arr = np.load(Path(out) / name, allow_pickle=True)
         if arr.shape[0] == 0:
             raise IOError(f"artifact {name} is empty after save")
 

@@ -67,6 +67,41 @@ class StandardScaler:
         return np.asarray(out)
 
 
+@dataclasses.dataclass
+class StreamingScalerFit:
+    """Accumulates StandardScaler statistics over row chunks.
+
+    float64 sum/sum-of-squares accumulation matches the full-array
+    :class:`StandardScaler` fit to ~1e-6 while only ever holding one chunk
+    of rows in memory — the fit path of the streaming (host-RAM-bounded)
+    artifact assembly (``tpuvae.io.assembly``).
+    """
+
+    n: int = 0
+    s: np.ndarray | None = None
+    ss: np.ndarray | None = None
+
+    def update(self, x: np.ndarray) -> "StreamingScalerFit":
+        x = np.asarray(x, np.float64).reshape(len(x), -1)
+        if self.s is None:
+            self.s = np.zeros(x.shape[1])
+            self.ss = np.zeros(x.shape[1])
+        self.n += len(x)
+        self.s += x.sum(axis=0)
+        self.ss += np.square(x).sum(axis=0)
+        return self
+
+    def finalize(self) -> StandardScaler:
+        if not self.n:
+            raise ValueError("no rows accumulated")
+        mean = self.s / self.n
+        var = np.maximum(self.ss / self.n - mean * mean, 0.0)
+        scale = np.sqrt(var)
+        scale[scale == 0.0] = 1.0
+        return StandardScaler(mean=mean.astype(np.float32),
+                              scale=scale.astype(np.float32))
+
+
 def normalize_mel_images(mels: np.ndarray):
     """Per-pixel StandardScaler over flattened (N, H·W) mel images
     (ref ``1_preprocessing_advanced.py:376-382``)."""

@@ -40,16 +40,26 @@ class ExtractionManifest:
             {"shards": self.shards, "done_ids": sorted(self.done_ids)}
         ))
 
+    def iter_shards(self):
+        """Yield ``(file_ids, arrays)`` per shard in manifest order — one
+        shard resident at a time (the streaming-assembly read path)."""
+        for name in self.shards:
+            with np.load(self.dir / name, allow_pickle=True) as z:
+                ids = z["file_ids"].tolist()
+                arrays = {k: z[k] for k in z.files if k != "file_ids"}
+            yield ids, arrays
+
+    def total_rows(self) -> int:
+        return len(self.done_ids)
+
     def load_all(self) -> tuple[list[str], dict[str, np.ndarray]]:
         """Concatenate all shards in manifest order → (file_ids, arrays)."""
         ids: list[str] = []
         parts: dict[str, list[np.ndarray]] = {}
-        for name in self.shards:
-            with np.load(self.dir / name, allow_pickle=True) as z:
-                ids.extend(z["file_ids"].tolist())
-                for k in z.files:
-                    if k != "file_ids":
-                        parts.setdefault(k, []).append(z[k])
+        for shard_ids, arrays in self.iter_shards():
+            ids.extend(shard_ids)
+            for k, v in arrays.items():
+                parts.setdefault(k, []).append(v)
         return ids, {k: np.concatenate(v) for k, v in parts.items()}
 
     def cleanup(self) -> None:

@@ -156,10 +156,13 @@ def _extract_batched(entries, extract_fn, cfg, mesh: MeshContext,
         out_list = out if isinstance(out, tuple) else (out,)
         out_list = tuple(np.asarray(o)[: len(buf)] for o in out_list)
         if manifest is not None:
+            # shards on disk are the source of truth; don't hold a second
+            # in-RAM copy of the whole dataset
             manifest.add_shard(
                 [e.file_id for e in buf_entries], dict(zip(shard_keys, out_list))
             )
-        outputs.append(out_list)
+        else:
+            outputs.append(out_list)
         ok_entries.extend(buf_entries)
         buf.clear()
         buf_entries.clear()
@@ -269,6 +272,12 @@ def preprocess_advanced(
     text_checkpoint: str | None = None,
     resume: bool = True,
 ) -> dict:
+    if cfg.assembly_mode not in ("auto", "inmem", "stream"):
+        raise ValueError(f"assembly_mode must be 'auto'|'inmem'|'stream', "
+                         f"got {cfg.assembly_mode!r}")
+    if cfg.assembly_mode == "stream" and not resume:
+        raise ValueError("assembly_mode='stream' requires resume=True "
+                         "(extraction shards are the streaming source)")
     mesh = mesh or MeshContext.create()
     logger = logger or RunLogger()
     timer = StageTimer(logger, profile_dir=os.environ.get("TPUVAE_PROFILE_DIR"))
@@ -294,8 +303,27 @@ def preprocess_advanced(
             pending, extract, cfg, mesh, logger,
             manifest=manifest, shard_keys=("mel", "flat"),
         )
+    streaming = False
     if manifest is not None:
-        ids, arrays = manifest.load_all()
+        mel_bytes = manifest.total_rows() * cfg.n_mels * cfg.fixed_time_steps * 4
+        streaming = cfg.assembly_mode == "stream" or (
+            cfg.assembly_mode == "auto" and mel_bytes > 1 << 30
+        )
+        if streaming and manifest.total_rows():
+            from tpuvae.io.assembly import assemble_advanced_streaming
+
+            with timer.stage("assemble_stream", items=manifest.total_rows()):
+                ids, flats, mel_scaler = assemble_advanced_streaming(
+                    manifest, cfg.output_dir,
+                    (cfg.n_mels, cfg.fixed_time_steps), cfg.flat_feature_dim,
+                )
+            mels = None  # on disk already; never resident
+        else:
+            streaming = False
+            ids, arrays = manifest.load_all()
+            mels = arrays.get("mel",
+                              np.zeros((0, cfg.n_mels, cfg.fixed_time_steps)))
+            flats = arrays.get("flat", np.zeros((0, cfg.flat_feature_dim)))
         by_id = {e.file_id: e for e in entries}
         unknown = [i for i in ids if i not in by_id]
         if unknown:
@@ -305,9 +333,7 @@ def preprocess_advanced(
                 f"delete {manifest.dir} to start fresh"
             )
         ok = [by_id[i] for i in ids]
-        mels = arrays.get("mel", np.zeros((0, cfg.n_mels, cfg.fixed_time_steps)))
-        flats = arrays.get("flat", np.zeros((0, cfg.flat_feature_dim)))
-        assert len(ok) == len(mels) == len(flats), (len(ok), len(mels))
+        assert len(ok) == len(flats), (len(ok), len(flats))
     else:
         mels = (np.concatenate([o[0] for o in outs]) if outs
                 else np.zeros((0, cfg.n_mels, cfg.fixed_time_steps)))
@@ -323,9 +349,12 @@ def preprocess_advanced(
             [e.lyrics for e in ok], checkpoint=text_checkpoint
         )
     logger.log("lyrics_embedder", backend=embedder_backend)
-    assert len(mels) == len(embeddings), "Mismatch between audio and lyrics samples!"
+    assert len(ok) == len(embeddings), "Mismatch between audio and lyrics samples!"
     with timer.stage("normalize"):
-        mel_norm, mel_scaler = normalize_mel_images(mels)
+        if not streaming:
+            mel_norm, mel_scaler = normalize_mel_images(mels)
+        else:  # mel artifacts + scaler already written by the streaming pass
+            mel_norm = None
         flat_norm, imputer, flat_scaler = impute_and_scale(flats)
     save_advanced(
         cfg.output_dir,
