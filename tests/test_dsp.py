@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+import jax
+
 import jax.numpy as jnp
 
 from tpuvae.config import AdvancedPreprocessConfig, PreprocessConfig
@@ -87,6 +89,62 @@ def test_stft_ct_pallas_fast_mode_bf16x3(audio_batch):
     b = np.asarray(stft_power_ct_pallas(jnp.asarray(y[:2]), N_FFT, HOP,
                                         exact=False))
     assert np.max(np.abs(a - b) / (np.abs(a) + 1e-3)) < 2e-2
+
+
+def test_fused_feature_epilogue_matches_staged(audio_batch):
+    """The CT kernel's fused mel/centroid/bandwidth/rolloff epilogue must
+    match the staged XLA ops — including the beyond-Nyquist mirror bins
+    (k2=64, k1>0) that carry real power in the padded layout and must be
+    masked out of the magnitude statistics (regression: an unmasked epilogue
+    read them and was ~2% off on every stat)."""
+    from tpuvae.dsp import features as feat
+    from tpuvae.dsp import primitives as prim
+    from tpuvae.ops.stft import stft_fused_features_ct_pallas
+
+    y, sr = audio_batch
+    yb = jnp.asarray(y[:2])
+    H = jax.lax.Precision.HIGHEST
+    p1, mel1, c1, b1, r1 = stft_fused_features_ct_pallas(
+        yb, N_FFT, HOP, sr=sr, n_mels=32, exact=True
+    )
+    p0 = stft_power(yb, N_FFT, HOP, method="ct_pallas",
+                    precision=H)
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+    s_mag = jnp.sqrt(p0)
+    freqs = jnp.asarray(prim.fft_frequencies(sr, N_FFT))
+    mel0 = feat.mel_power_from_stft(p0, sr, N_FFT, 32, precision=H)
+    c0 = feat.spectral_centroid(s_mag, freqs, precision=H)
+    b0 = feat.spectral_bandwidth(s_mag, freqs, c0)
+    r0 = feat.spectral_rolloff(s_mag, freqs, precision=H)
+    np.testing.assert_allclose(np.asarray(mel1), np.asarray(mel0),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c0), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(b1), np.asarray(b0), rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r0))
+
+
+def test_extractors_fused_path_matches_fft_path(audio_batch):
+    """End-to-end: extract_basic_features/extract_advanced through the
+    fused ct_pallas front end agree with the staged fft path."""
+    from tpuvae.config import AdvancedPreprocessConfig, PreprocessConfig
+    from tpuvae.dsp import features as feat
+
+    y, sr = audio_batch
+    yb = jnp.asarray(y[:2])
+    cfg = PreprocessConfig(duration=yb.shape[1] / sr, precision_mode="exact")
+    a = np.asarray(feat.extract_basic_features(yb, cfg, stft_method="fft"))
+    b = np.asarray(feat.extract_basic_features(yb, cfg,
+                                               stft_method="ct_pallas"))
+    # 3e-3: the CT-vs-FFT STFT tolerance itself (test above), not the fusion
+    np.testing.assert_allclose(b, a, rtol=3e-3, atol=3e-3)
+    acfg = AdvancedPreprocessConfig(duration=yb.shape[1] / sr,
+                                    fixed_time_steps=64,
+                                    precision_mode="exact")
+    i0, f0 = feat.extract_advanced(yb, acfg, stft_method="fft")
+    i1, f1 = feat.extract_advanced(yb, acfg, stft_method="ct_pallas")
+    np.testing.assert_allclose(np.asarray(i1), np.asarray(i0), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f0),
+                               rtol=3e-3, atol=3e-3)
 
 
 def test_stft_kernel_methods_reject_custom_window(audio_batch):

@@ -242,6 +242,34 @@ def _require_batched(y: jnp.ndarray, fn_name: str) -> None:
         )
 
 
+def _spectral_front_end(y: jnp.ndarray, cfg, prec, method: str):
+    """``(s_power, mel_power, centroid, bandwidth, rolloff)`` for a batch.
+
+    With the CT Pallas STFT this is ONE fused kernel pass
+    (:func:`tpuvae.ops.stft.stft_fused_features_ct_pallas`): the mel
+    projection and the three magnitude statistics are computed while each
+    power block is VMEM-resident, so the (B, 1025, T) spectrogram is written
+    once and re-read only by the chroma/tuning stage.  Other STFT methods
+    use the staged XLA ops.
+    """
+    sr, n_fft, hop = cfg.sample_rate, cfg.n_fft, cfg.hop_length
+    if method == "ct_pallas":
+        from tpuvae.ops.stft import stft_fused_features_ct_pallas
+
+        return stft_fused_features_ct_pallas(
+            y, n_fft, hop, sr=sr, n_mels=cfg.n_mels, exact=prec == HIGHEST
+        )
+    s_power = prim.stft_power(y, n_fft, hop, method=method,
+                              precision=stft_precision_for(prec))
+    s_mag = jnp.sqrt(s_power)
+    freqs = jnp.asarray(prim.fft_frequencies(sr, n_fft))
+    mel_p = mel_power_from_stft(s_power, sr, n_fft, cfg.n_mels, precision=prec)
+    cent = spectral_centroid(s_mag, freqs, precision=prec)
+    bw = spectral_bandwidth(s_mag, freqs, cent)
+    roll = spectral_rolloff(s_mag, freqs, precision=prec)
+    return s_power, mel_p, cent, bw, roll
+
+
 def extract_basic_features(
     y: jnp.ndarray, cfg: PreprocessConfig, *, stft_method: str | None = None
 ) -> jnp.ndarray:
@@ -254,18 +282,9 @@ def extract_basic_features(
     _require_batched(y, "extract_basic_features")
     sr, n_fft, hop = cfg.sample_rate, cfg.n_fft, cfg.hop_length
     prec, method = resolve_numerics(cfg, stft_method)
-    s_power = prim.stft_power(y, n_fft, hop, method=method,
-                              precision=stft_precision_for(prec))
-    s_mag = jnp.sqrt(s_power)
-    freqs = jnp.asarray(prim.fft_frequencies(sr, n_fft))
-
-    mel_p = mel_power_from_stft(s_power, sr, n_fft, cfg.n_mels, precision=prec)
+    s_power, mel_p, cent, bw, roll = _spectral_front_end(y, cfg, prec, method)
     mel_db = mel_db_ref_max(mel_p)
     mfcc = mfcc_from_mel_power(mel_p, cfg.n_mfcc, precision=prec)
-
-    cent = spectral_centroid(s_mag, freqs, precision=prec)
-    bw = spectral_bandwidth(s_mag, freqs, cent)
-    roll = spectral_rolloff(s_mag, freqs, precision=prec)
     z = zero_crossing_rate(y, n_fft, hop)
     r = rms(y, n_fft, hop)
     chrom = chroma_batch(s_power, sr, n_fft, n_chroma=cfg.n_chroma,
@@ -295,10 +314,7 @@ def extract_mel_image(
     """
     _require_batched(y, "extract_mel_image")
     prec, method = resolve_numerics(cfg, stft_method)
-    s_power = prim.stft_power(y, cfg.n_fft, cfg.hop_length, method=method,
-                              precision=stft_precision_for(prec))
-    mel_p = mel_power_from_stft(s_power, cfg.sample_rate, cfg.n_fft,
-                                cfg.n_mels, precision=prec)
+    _, mel_p, _, _, _ = _spectral_front_end(y, cfg, prec, method)
     mel_db = mel_db_ref_max(mel_p)
     t = mel_db.shape[-1]
     fts = cfg.fixed_time_steps
@@ -320,17 +336,8 @@ def extract_flat_features(
     _require_batched(y, "extract_flat_features")
     sr, n_fft, hop = cfg.sample_rate, cfg.n_fft, cfg.hop_length
     prec, method = resolve_numerics(cfg, stft_method)
-    s_power = prim.stft_power(y, n_fft, hop, method=method,
-                              precision=stft_precision_for(prec))
-    s_mag = jnp.sqrt(s_power)
-    freqs = jnp.asarray(prim.fft_frequencies(sr, n_fft))
-
-    mel_p = mel_power_from_stft(s_power, sr, n_fft, cfg.n_mels, precision=prec)
+    s_power, mel_p, cent, bw, roll = _spectral_front_end(y, cfg, prec, method)
     mel_db = mel_db_ref_max(mel_p)
-
-    cent = spectral_centroid(s_mag, freqs, precision=prec)
-    bw = spectral_bandwidth(s_mag, freqs, cent)
-    roll = spectral_rolloff(s_mag, freqs, precision=prec)
     z = zero_crossing_rate(y, n_fft, hop)
     r = rms(y, n_fft, hop)
     chrom = chroma_batch(s_power, sr, n_fft, n_chroma=cfg.n_chroma,
@@ -360,12 +367,7 @@ def extract_advanced(
     _require_batched(y, "extract_advanced")
     sr, n_fft, hop = cfg.sample_rate, cfg.n_fft, cfg.hop_length
     prec, method = resolve_numerics(cfg, stft_method)
-    s_power = prim.stft_power(y, n_fft, hop, method=method,
-                              precision=stft_precision_for(prec))
-    s_mag = jnp.sqrt(s_power)
-    freqs = jnp.asarray(prim.fft_frequencies(sr, n_fft))
-
-    mel_p = mel_power_from_stft(s_power, sr, n_fft, cfg.n_mels, precision=prec)
+    s_power, mel_p, cent, bw, roll = _spectral_front_end(y, cfg, prec, method)
     mel_db = mel_db_ref_max(mel_p)
 
     # mel image
@@ -379,9 +381,6 @@ def extract_advanced(
         mask = jnp.arange(fts) < t
         mel_img = jnp.where(mask[None, None, :], padded, pad_val)
 
-    cent = spectral_centroid(s_mag, freqs, precision=prec)
-    bw = spectral_bandwidth(s_mag, freqs, cent)
-    roll = spectral_rolloff(s_mag, freqs, precision=prec)
     z = zero_crossing_rate(y, n_fft, hop)
     r = rms(y, n_fft, hop)
     chrom = chroma_batch(s_power, sr, n_fft, n_chroma=cfg.n_chroma,

@@ -218,12 +218,76 @@ def _ct_small_dft_coeffs(n1r: int):
     return np.cos(ang), -np.sin(ang)
 
 
-def _make_ct_kernel(ratio: int, n1r: int, span_rows: int, exact: bool):
+def _fused_stats_epilogue(pb, mel_fb, scale: float, n_bins: int,
+                          roll_percent: float = 0.85):
+    """Mel projection + centroid/bandwidth/rolloff from the bin-order power
+    block ``pb (nbins_pad, F_BLOCK)`` while it is still VMEM-resident.
+
+    Replaces four XLA passes over the full (B, 1025, T) spectrogram
+    (sqrt + three weighted reductions, ``tpuvae.dsp.features``): here every
+    reduction reads the block once from registers/VMEM.  The rolloff prefix
+    sum runs as 128-row blocked tril matmuls (exact fp32) instead of the
+    XLA-side (1025, 1025) tril einsum.
+    """
+    nbins_pad, fblk = pb.shape
+    tiny = np.finfo(np.float32).tiny
+    rows = jax.lax.broadcasted_iota(jnp.int32, (nbins_pad, 1), 0)
+    # rows >= n_bins hold beyond-Nyquist mirror bins (k2=64, k1>0) with
+    # real power — they are sliced off the power output and must not feed
+    # the magnitude statistics
+    mag = jnp.where(rows < n_bins, jnp.sqrt(pb), 0.0)
+    freqs = rows.astype(jnp.float32) * scale
+    den = jnp.sum(mag, axis=0, keepdims=True)                    # (1, F)
+    cent = jnp.sum(mag * freqs, axis=0, keepdims=True) / jnp.maximum(den, tiny)
+    dev = jnp.abs(freqs - cent)
+    bw = jnp.sqrt(jnp.sum(mag * dev * dev, axis=0, keepdims=True)
+                  / jnp.maximum(den, tiny))
+
+    mel = jax.lax.dot_general(
+        mel_fb, pb, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+    # rolloff: lowest freq where the bin-axis prefix sum crosses 85% energy
+    g = 128
+    pad_rows = _round_up(nbins_pad, g) - nbins_pad
+    mag_p = (jnp.concatenate([mag, jnp.zeros((pad_rows, fblk), jnp.float32)],
+                             axis=0) if pad_rows else mag)
+    row = jax.lax.broadcasted_iota(jnp.int32, (g, g), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (g, g), 1)
+    tril = (row >= col).astype(jnp.float32)
+    rfreqs = jax.lax.broadcasted_iota(jnp.int32, (g, 1), 0).astype(
+        jnp.float32) * scale
+    thresh = roll_percent * den
+    big = jnp.float32(np.finfo(np.float32).max)
+    off = jnp.zeros((1, fblk), jnp.float32)
+    roll = jnp.full((1, fblk), big, jnp.float32)
+    for gi in range(mag_p.shape[0] // g):
+        within = jax.lax.dot_general(
+            tril, mag_p[gi * g : (gi + 1) * g, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        cand = jnp.where(within + off >= thresh,
+                         rfreqs + jnp.float32(gi * g * scale), big)
+        roll = jnp.minimum(roll, jnp.min(cand, axis=0, keepdims=True))
+        off = off + within[g - 1 : g, :]
+    return mel, cent, bw, roll
+
+
+def _make_ct_kernel(ratio: int, n1r: int, span_rows: int, exact: bool,
+                    fuse_scale: float | None = None):
+    fuse_n_bins = n1r * CT_N2 // 2 + 1
     cos16, sin16 = _ct_small_dft_coeffs(n1r)
     nk1 = n1r // 2 + 1
 
-    def kernel(y_hbm, w_ref, twre_ref, twim_ref, cre_ref, cim_ref, out_ref,
-               span_ref, sem):
+    def kernel(y_hbm, w_ref, twre_ref, twim_ref, cre_ref, cim_ref, *refs):
+        if fuse_scale is not None:
+            mel_ref, out_ref, mel_out, stats_out, span_ref, sem = refs
+        else:
+            out_ref, span_ref, sem = refs
         b = pl.program_id(0)
         fb = pl.program_id(1)
         copy = pltpu.make_async_copy(
@@ -304,9 +368,17 @@ def _make_ct_kernel(ratio: int, n1r: int, span_rows: int, exact: bool):
         parts = [
             pt[:, k1 * F_BLOCK : (k1 + 1) * F_BLOCK] for k1 in range(n1r)
         ]
-        out_ref[0] = jnp.stack(parts, axis=1).reshape(
-            CT_K2 * n1r, F_BLOCK
-        )
+        pb = jnp.stack(parts, axis=1).reshape(CT_K2 * n1r, F_BLOCK)
+        out_ref[0] = pb
+        if fuse_scale is not None:
+            mel, cent, bwv, roll = _fused_stats_epilogue(
+                pb, mel_ref[:], fuse_scale, fuse_n_bins
+            )
+            mel_out[0] = mel
+            stats_out[0] = jnp.concatenate(
+                [cent, bwv, roll,
+                 jnp.zeros((5, F_BLOCK), jnp.float32)], axis=0
+            )
 
     return kernel
 
@@ -373,6 +445,110 @@ def _ct_inner_pallas(y_rows, w, twre, twim, cre, cim, ratio: int, n1r: int,
         interpret=interpret,
     )(y_rows, w, twre, twim, cre, cim)
     return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ratio", "n1r", "n_blocks", "exact", "interpret",
+                     "scale", "n_mels_pad"),
+)
+def _ct_inner_pallas_fused(y_rows, w, twre, twim, cre, cim, mel_fb,
+                           ratio: int, n1r: int, n_blocks: int, exact: bool,
+                           interpret: bool, scale: float, n_mels_pad: int):
+    b, _, hop = y_rows.shape
+    span_rows = _round_up(F_BLOCK + ratio - 1, 8)
+    grid = (b, n_blocks)
+    kernel = _make_ct_kernel(ratio, n1r, span_rows, exact, fuse_scale=scale)
+    const_spec = lambda m: pl.BlockSpec(m.shape, lambda b_, f_: (0, 0),
+                                        memory_space=pltpu.VMEM)
+    t_pad = n_blocks * F_BLOCK
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),   # waveform rows in HBM
+            const_spec(w), const_spec(twre), const_spec(twim),
+            const_spec(cre), const_spec(cim), const_spec(mel_fb),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, CT_K2 * n1r, F_BLOCK), lambda b_, f_: (b_, 0, f_),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_mels_pad, F_BLOCK), lambda b_, f_: (b_, 0, f_),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, F_BLOCK), lambda b_, f_: (b_, 0, f_),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, CT_K2 * n1r, t_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_mels_pad, t_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, 8, t_pad), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((span_rows, hop), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(y_rows, w, twre, twim, cre, cim, mel_fb)
+    return out
+
+
+def stft_fused_features_ct_pallas(
+    y: jnp.ndarray,
+    n_fft: int = 2048,
+    hop_length: int = 512,
+    *,
+    sr: float,
+    n_mels: int,
+    pad_mode: str = "constant",
+    exact: bool = False,
+    interpret: bool | None = None,
+):
+    """Cooley-Tukey STFT with the spectral-feature epilogues fused in.
+
+    One kernel pass emits ``(power (B, n_fft//2+1, T), mel_power
+    (B, n_mels, T), centroid (B, T), bandwidth (B, T), rolloff (B, T))`` —
+    the mel projection and the three magnitude statistics are computed while
+    each power block is VMEM-resident, so the downstream feature extractors
+    (``tpuvae.dsp.features``) never re-read the full spectrogram for them.
+    Same geometry constraints as :func:`stft_power_ct_pallas`.
+    """
+    n1r = n_fft // CT_N2
+    if not ct_pallas_supports(n_fft, hop_length):
+        raise ValueError(
+            f"ct_pallas requires 256 | n_fft and hop | n_fft; got "
+            f"n_fft={n_fft}, hop={hop_length}"
+        )
+    if interpret is None:
+        interpret = _interpret_default()
+    y = jnp.asarray(y, jnp.float32)
+    b, t = y.shape
+    ratio = n_fft // hop_length
+    n_frames = prim.num_frames(t, hop_length)
+    n_blocks = -(-n_frames // F_BLOCK)
+    span_rows = _round_up(F_BLOCK + ratio - 1, 8)
+    m_rows = (n_blocks - 1) * F_BLOCK + span_rows
+    y_rows = _hop_rows_for_frames(y, n_fft, hop_length, m_rows, pad_mode)
+
+    n_bins = n_fft // 2 + 1
+    nbins_pad = CT_K2 * n1r
+    n_mels_pad = _round_up(n_mels, 8)
+    fb = prim.mel_filterbank(sr, n_fft, n_mels).astype(np.float32)
+    fb_pad = np.zeros((n_mels_pad, nbins_pad), np.float32)
+    fb_pad[:n_mels, :n_bins] = fb
+
+    consts = _ct_pallas_consts(n_fft, exact)
+    p, mel, stats = _ct_inner_pallas_fused(
+        y_rows, *(jnp.asarray(c) for c in consts), jnp.asarray(fb_pad),
+        ratio=ratio, n1r=n1r, n_blocks=n_blocks, exact=exact,
+        interpret=interpret, scale=float(sr) / n_fft, n_mels_pad=n_mels_pad,
+    )
+    return (
+        p[:, :n_bins, :n_frames],
+        mel[:, :n_mels, :n_frames],
+        stats[:, 0, :n_frames],
+        stats[:, 1, :n_frames],
+        stats[:, 2, :n_frames],
+    )
 
 
 def stft_power_ct_pallas(
