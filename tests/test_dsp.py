@@ -104,8 +104,15 @@ def test_fused_feature_epilogue_matches_staged(audio_batch):
     y, sr = audio_batch
     yb = jnp.asarray(y[:2])
     H = jax.lax.Precision.HIGHEST
-    p1, mel1, c1, b1, r1 = stft_fused_features_ct_pallas(
+    p1, mel1, c1, b1, r1, zcr_k, rms_k = stft_fused_features_ct_pallas(
         yb, N_FFT, HOP, sr=sr, n_mels=32, exact=True
+    )
+    # rms is exact (same zero padding); zcr needs the edge-frame patch
+    np.testing.assert_allclose(np.asarray(rms_k),
+                               np.asarray(feat.rms(yb, N_FFT, HOP)), atol=1e-6)
+    zp = feat._patch_zcr_edges(zcr_k, yb, N_FFT, HOP)
+    np.testing.assert_array_equal(
+        np.asarray(zp), np.asarray(feat.zero_crossing_rate(yb, N_FFT, HOP))
     )
     p0 = stft_power(yb, N_FFT, HOP, method="ct_pallas",
                     precision=H)

@@ -242,23 +242,54 @@ def _require_batched(y: jnp.ndarray, fn_name: str) -> None:
         )
 
 
+def _patch_zcr_edges(zcr_k, y, n_fft: int, hop: int) -> jnp.ndarray:
+    """Replace the frames of a zero-pad-computed zcr whose window overlaps
+    the center padding with exact edge-pad values (librosa semantics).
+
+    The fused kernel computes zcr from the constant-padded frames it already
+    holds; only the first ``kL = ceil((n_fft//2)/hop)`` frames and the last
+    ``<= n_fft//hop`` frames can differ.  Both patches come from the staged
+    :func:`zero_crossing_rate` run on tiny waveform slices, positioned so no
+    patched frame's window touches the slice's own synthetic padding.
+    """
+    b, t = y.shape
+    n = zcr_k.shape[1]
+    half = n_fft // 2
+    ratio = n_fft // hop
+    kl = -(-half // hop)
+    if n <= kl + ratio + 1:              # tiny clip: just recompute exactly
+        return zero_crossing_rate(y, n_fft, hop)
+    left = zero_crossing_rate(y[:, : n_fft + kl * hop], n_fft, hop)[:, :kl]
+    f0 = n - ratio                        # first frame that may touch the end
+    right = zero_crossing_rate(y[:, (f0 - kl) * hop :], n_fft, hop)[
+        :, kl : kl + (n - f0)
+    ]
+    return jnp.concatenate([left, zcr_k[:, kl:f0], right], axis=1)
+
+
 def _spectral_front_end(y: jnp.ndarray, cfg, prec, method: str):
-    """``(s_power, mel_power, centroid, bandwidth, rolloff)`` for a batch.
+    """``(s_power, mel_power, centroid, bandwidth, rolloff, zcr, rms)``.
 
     With the CT Pallas STFT this is ONE fused kernel pass
     (:func:`tpuvae.ops.stft.stft_fused_features_ct_pallas`): the mel
-    projection and the three magnitude statistics are computed while each
-    power block is VMEM-resident, so the (B, 1025, T) spectrogram is written
-    once and re-read only by the chroma/tuning stage.  Other STFT methods
-    use the staged XLA ops.
+    projection and the magnitude statistics are computed while each power
+    block is VMEM-resident, and zcr/rms come from the unwindowed frames
+    already on chip — the (B, 1025, T) spectrogram is written once and
+    re-read only by the chroma/tuning stage, and the waveform is never
+    re-framed.  Other STFT methods use the staged XLA ops.
     """
     sr, n_fft, hop = cfg.sample_rate, cfg.n_fft, cfg.hop_length
     if method == "ct_pallas":
         from tpuvae.ops.stft import stft_fused_features_ct_pallas
 
-        return stft_fused_features_ct_pallas(
-            y, n_fft, hop, sr=sr, n_mels=cfg.n_mels, exact=prec == HIGHEST
+        s_power, mel_p, cent, bw, roll, zcr_k, rms_k = (
+            stft_fused_features_ct_pallas(
+                y, n_fft, hop, sr=sr, n_mels=cfg.n_mels,
+                exact=prec == HIGHEST,
+            )
         )
+        return (s_power, mel_p, cent, bw, roll,
+                _patch_zcr_edges(zcr_k, y, n_fft, hop), rms_k)
     s_power = prim.stft_power(y, n_fft, hop, method=method,
                               precision=stft_precision_for(prec))
     s_mag = jnp.sqrt(s_power)
@@ -267,7 +298,9 @@ def _spectral_front_end(y: jnp.ndarray, cfg, prec, method: str):
     cent = spectral_centroid(s_mag, freqs, precision=prec)
     bw = spectral_bandwidth(s_mag, freqs, cent)
     roll = spectral_rolloff(s_mag, freqs, precision=prec)
-    return s_power, mel_p, cent, bw, roll
+    z = zero_crossing_rate(y, n_fft, hop)
+    r = rms(y, n_fft, hop)
+    return s_power, mel_p, cent, bw, roll, z, r
 
 
 def extract_basic_features(
@@ -282,11 +315,10 @@ def extract_basic_features(
     _require_batched(y, "extract_basic_features")
     sr, n_fft, hop = cfg.sample_rate, cfg.n_fft, cfg.hop_length
     prec, method = resolve_numerics(cfg, stft_method)
-    s_power, mel_p, cent, bw, roll = _spectral_front_end(y, cfg, prec, method)
+    s_power, mel_p, cent, bw, roll, z, r = _spectral_front_end(
+        y, cfg, prec, method)
     mel_db = mel_db_ref_max(mel_p)
     mfcc = mfcc_from_mel_power(mel_p, cfg.n_mfcc, precision=prec)
-    z = zero_crossing_rate(y, n_fft, hop)
-    r = rms(y, n_fft, hop)
     chrom = chroma_batch(s_power, sr, n_fft, n_chroma=cfg.n_chroma,
                          precision=prec)
 
@@ -314,7 +346,7 @@ def extract_mel_image(
     """
     _require_batched(y, "extract_mel_image")
     prec, method = resolve_numerics(cfg, stft_method)
-    _, mel_p, _, _, _ = _spectral_front_end(y, cfg, prec, method)
+    mel_p = _spectral_front_end(y, cfg, prec, method)[1]
     mel_db = mel_db_ref_max(mel_p)
     t = mel_db.shape[-1]
     fts = cfg.fixed_time_steps
@@ -336,10 +368,9 @@ def extract_flat_features(
     _require_batched(y, "extract_flat_features")
     sr, n_fft, hop = cfg.sample_rate, cfg.n_fft, cfg.hop_length
     prec, method = resolve_numerics(cfg, stft_method)
-    s_power, mel_p, cent, bw, roll = _spectral_front_end(y, cfg, prec, method)
+    s_power, mel_p, cent, bw, roll, z, r = _spectral_front_end(
+        y, cfg, prec, method)
     mel_db = mel_db_ref_max(mel_p)
-    z = zero_crossing_rate(y, n_fft, hop)
-    r = rms(y, n_fft, hop)
     chrom = chroma_batch(s_power, sr, n_fft, n_chroma=cfg.n_chroma,
                          precision=prec)
 
@@ -367,7 +398,8 @@ def extract_advanced(
     _require_batched(y, "extract_advanced")
     sr, n_fft, hop = cfg.sample_rate, cfg.n_fft, cfg.hop_length
     prec, method = resolve_numerics(cfg, stft_method)
-    s_power, mel_p, cent, bw, roll = _spectral_front_end(y, cfg, prec, method)
+    s_power, mel_p, cent, bw, roll, z, r = _spectral_front_end(
+        y, cfg, prec, method)
     mel_db = mel_db_ref_max(mel_p)
 
     # mel image
@@ -381,8 +413,6 @@ def extract_advanced(
         mask = jnp.arange(fts) < t
         mel_img = jnp.where(mask[None, None, :], padded, pad_val)
 
-    z = zero_crossing_rate(y, n_fft, hop)
-    r = rms(y, n_fft, hop)
     chrom = chroma_batch(s_power, sr, n_fft, n_chroma=cfg.n_chroma,
                          precision=prec)
 

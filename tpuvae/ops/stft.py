@@ -295,7 +295,8 @@ def _make_ct_kernel(ratio: int, n1r: int, span_rows: int, exact: bool,
         )
         copy.start()
         copy.wait()
-        frames = _frames_from_span(span_ref[:], span_rows, ratio) * w_ref[:]
+        raw = _frames_from_span(span_ref[:], span_rows, ratio)
+        frames = raw * w_ref[:]
         chunks = [
             frames[:, n1 * CT_N2 : (n1 + 1) * CT_N2] for n1 in range(n1r)
         ]
@@ -374,10 +375,21 @@ def _make_ct_kernel(ratio: int, n1r: int, span_rows: int, exact: bool,
             mel, cent, bwv, roll = _fused_stats_epilogue(
                 pb, mel_ref[:], fuse_scale, fuse_n_bins
             )
+            # zcr/rms from the unwindowed frames already in VMEM — same
+            # center/zero padding as tpuvae.dsp.features.rms; zcr edge
+            # frames (which librosa edge-pads) are patched by the caller
+            n_fft = ratio * span_ref.shape[1]
+            rmsv = jnp.sqrt(
+                jnp.sum(raw * raw, axis=1, keepdims=True) / n_fft
+            ).T
+            z = jnp.where(jnp.abs(raw) <= 1e-10, 0.0, raw)
+            sign = jnp.signbit(z)
+            crossings = (sign[:, 1:] != sign[:, :-1]).astype(jnp.float32)
+            zcrv = (jnp.sum(crossings, axis=1, keepdims=True) / n_fft).T
             mel_out[0] = mel
             stats_out[0] = jnp.concatenate(
-                [cent, bwv, roll,
-                 jnp.zeros((5, F_BLOCK), jnp.float32)], axis=0
+                [cent, bwv, roll, zcrv, rmsv,
+                 jnp.zeros((3, F_BLOCK), jnp.float32)], axis=0
             )
 
     return kernel
@@ -506,11 +518,16 @@ def stft_fused_features_ct_pallas(
     """Cooley-Tukey STFT with the spectral-feature epilogues fused in.
 
     One kernel pass emits ``(power (B, n_fft//2+1, T), mel_power
-    (B, n_mels, T), centroid (B, T), bandwidth (B, T), rolloff (B, T))`` —
-    the mel projection and the three magnitude statistics are computed while
-    each power block is VMEM-resident, so the downstream feature extractors
-    (``tpuvae.dsp.features``) never re-read the full spectrogram for them.
-    Same geometry constraints as :func:`stft_power_ct_pallas`.
+    (B, n_mels, T), centroid, bandwidth, rolloff, zcr, rms)`` (each
+    ``(B, T)``) — the mel projection and the magnitude statistics are
+    computed while each power block is VMEM-resident, and zcr/rms come from
+    the unwindowed frames already on chip, so the downstream feature
+    extractors (``tpuvae.dsp.features``) neither re-read the full
+    spectrogram nor re-frame the waveform.  The zcr of the few frames whose
+    window overlaps the center padding assumes zero padding; librosa
+    edge-pads there, so callers patch those frames
+    (``features._patch_zcr_edges``).  Same geometry constraints as
+    :func:`stft_power_ct_pallas`.
     """
     n1r = n_fft // CT_N2
     if not ct_pallas_supports(n_fft, hop_length):
@@ -548,6 +565,8 @@ def stft_fused_features_ct_pallas(
         stats[:, 0, :n_frames],
         stats[:, 1, :n_frames],
         stats[:, 2, :n_frames],
+        stats[:, 3, :n_frames],     # zcr (zero-pad edges; caller patches)
+        stats[:, 4, :n_frames],     # rms
     )
 
 
