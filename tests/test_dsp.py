@@ -104,8 +104,22 @@ def test_fused_feature_epilogue_matches_staged(audio_batch):
     y, sr = audio_batch
     yb = jnp.asarray(y[:2])
     H = jax.lax.Precision.HIGHEST
-    p1, mel1, c1, b1, r1, zcr_k, rms_k = stft_fused_features_ct_pallas(
+    fe = stft_fused_features_ct_pallas(
         yb, N_FFT, HOP, sr=sr, n_mels=32, exact=True
+    )
+    p1, mel1, c1, b1, r1, zcr_k, rms_k = (
+        fe.power, fe.mel_power, fe.centroid, fe.bandwidth, fe.rolloff,
+        fe.zcr, fe.rms,
+    )
+    # colmax row = per-frame max power over the real bins
+    np.testing.assert_array_equal(
+        np.asarray(fe.colmax), np.asarray(jnp.max(fe.power, axis=1))
+    )
+    # padded views expose the same data in the kernel's aligned layout
+    n_bins = N_FFT // 2 + 1
+    np.testing.assert_array_equal(
+        np.asarray(fe.power_padded[:, :n_bins, : fe.n_frames]),
+        np.asarray(fe.power),
     )
     # rms is exact (same zero padding); zcr needs the edge-frame patch
     np.testing.assert_allclose(np.asarray(rms_k),

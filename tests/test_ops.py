@@ -115,3 +115,34 @@ def test_fused_tuning_kernel_matches_staged_path():
         lambda s: C.estimate_tuning_from_power(s, 22050, 2048))(sp))
     got = np.asarray(estimate_tuning_pallas(sp, 22050, 2048))
     np.testing.assert_array_equal(got, want)
+
+
+def test_fused_tuning_kernel_padded_input_matches_sliced():
+    """The tuning kernel fed the CT kernel's padded bin-order power (with
+    colmax + n_frames masking of the real-power pad columns) must agree
+    exactly with the sliced-input evaluation."""
+    import jax.numpy as jnp
+
+    import tpuvae.dsp.primitives as prim
+    from tpuvae.ops.stft import stft_fused_features_ct_pallas
+    from tpuvae.ops.tuning import estimate_tuning_pallas
+
+    rng = np.random.default_rng(5)
+    t = np.arange(2 * 22050) / 22050.0
+    clips = []
+    for _ in range(3):
+        f0 = 220 * 2 ** rng.uniform(-0.5, 0.5)
+        sig = sum(np.sin(2 * np.pi * f0 * (k + 1) * t) / (k + 1)
+                  for k in range(3))
+        clips.append((sig + 0.05 * rng.normal(size=t.shape)).astype(np.float32))
+    y = jnp.asarray(np.stack(clips))
+    fe = stft_fused_features_ct_pallas(y, 2048, 512, sr=22050, n_mels=16)
+    assert fe.power_padded.shape[-1] > fe.n_frames  # pad columns exist
+    want = np.asarray(estimate_tuning_pallas(fe.power, 22050, 2048))
+    got = np.asarray(
+        estimate_tuning_pallas(
+            fe.power_padded, 22050, 2048, colmax=fe.colmax_padded,
+            n_frames=fe.n_frames,
+        )
+    )
+    np.testing.assert_array_equal(got, want)

@@ -195,7 +195,8 @@ def piptrack_band(sr: int, n_fft: int, n_rows: int) -> tuple[int, int]:
     return lo, hi
 
 
-def _tuning_candidates(s_power: jnp.ndarray, sr: int, n_fft: int):
+def _tuning_candidates(s_power: jnp.ndarray, sr: int, n_fft: int,
+                       colmax: jnp.ndarray | None = None):
     """Banded piptrack candidates for one clip → (pitches, mags, mask).
 
     Pitch candidates only exist on rows whose center frequency lies in
@@ -203,9 +204,13 @@ def _tuning_candidates(s_power: jnp.ndarray, sr: int, n_fft: int):
     geometry — so the expensive stages (median selection, histogram) run on
     the sliced band only.  The threshold reference max spans the FULL
     column, so results are bit-identical to the unbanded form.
+    ``colmax (T,)`` optionally supplies that per-frame full-column max (the
+    fused STFT kernel emits it) so this never re-reads the spectrogram.
     """
     lo, hi = piptrack_band(sr, n_fft, s_power.shape[0])
-    ref_value = PIPTRACK_THRESHOLD * jnp.max(s_power, axis=0, keepdims=True)
+    full_max = (colmax[None, :] if colmax is not None
+                else jnp.max(s_power, axis=0, keepdims=True))
+    ref_value = PIPTRACK_THRESHOLD * full_max
     pitches, mags = piptrack_from_power(
         s_power[lo:hi], sr, n_fft, fmin=PIPTRACK_FMIN, fmax=PIPTRACK_FMAX,
         ref_value=ref_value, row_offset=lo,
@@ -262,6 +267,8 @@ def estimate_tuning_batch(
     n_fft: int,
     resolution: float = 0.01,
     bins_per_octave: int = 12,
+    colmax: jnp.ndarray | None = None,
+    power_padded: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Batched tuning estimation ``(B, n_bins, T) → (B,)``.
 
@@ -273,20 +280,38 @@ def estimate_tuning_batch(
     step of the whole 370-d feature pipeline.  Elsewhere, the staged path
     runs with the masked median through the Pallas selection kernel
     (``tpuvae.ops.select``, exact, interpretable on CPU).
+
+    ``colmax (B, Tp)`` / ``power_padded (B, nbins_pad, Tp)`` optionally
+    forward the fused CT STFT kernel's per-frame max and padded bin-order
+    power so the TPU kernel gets lane-aligned fetches and no stage re-reads
+    the full spectrogram (pad columns/rows are masked in-kernel).
     """
+    t_valid = s_power.shape[-1]
     if jax.default_backend() not in ("cpu", "gpu"):
         from tpuvae.ops.tuning import estimate_tuning_pallas
 
+        if power_padded is not None:
+            return estimate_tuning_pallas(
+                power_padded, sr, n_fft, resolution=resolution,
+                bins_per_octave=bins_per_octave, colmax=colmax,
+                n_frames=t_valid,
+            )
         return estimate_tuning_pallas(
             s_power, sr, n_fft, resolution=resolution,
             bins_per_octave=bins_per_octave,
+            colmax=None if colmax is None else colmax[:, :t_valid],
         )
 
     from tpuvae.ops.select import masked_median_batch
 
-    pitches, mags, mask = jax.vmap(
-        lambda s: _tuning_candidates(s, sr, n_fft)
-    )(s_power)
+    if colmax is None:
+        pitches, mags, mask = jax.vmap(
+            lambda s: _tuning_candidates(s, sr, n_fft)
+        )(s_power)
+    else:
+        pitches, mags, mask = jax.vmap(
+            lambda s, cm: _tuning_candidates(s, sr, n_fft, colmax=cm)
+        )(s_power, colmax[:, :t_valid])
     b = mags.shape[0]
     thresh = masked_median_batch(mags.reshape(b, -1), mask.reshape(b, -1))
     return jax.vmap(
@@ -321,16 +346,22 @@ def chroma_from_power(
 
 def chroma_batch(
     s_power: jnp.ndarray, sr: int, n_fft: int, n_chroma: int = 12, tuning=None,
-    precision=None,
+    precision=None, colmax: jnp.ndarray | None = None,
+    power_padded: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Batched chroma ``(B, n_bins, T) → (B, n_chroma, T)``.
 
     ``tuning=None`` estimates per-clip tuning through the batched Pallas
     median-selection path; a scalar/array ``tuning`` is broadcast per clip.
+    ``colmax``/``power_padded`` optionally forward the fused STFT kernel's
+    per-frame max and padded power to the tuning stage (see
+    :func:`estimate_tuning_batch`).
     """
     if tuning is None:
         tuning_b = estimate_tuning_batch(s_power, sr, n_fft,
-                                         bins_per_octave=n_chroma)
+                                         bins_per_octave=n_chroma,
+                                         colmax=colmax,
+                                         power_padded=power_padded)
     else:
         tuning_b = jnp.broadcast_to(jnp.asarray(tuning, jnp.float32),
                                     (s_power.shape[0],))

@@ -268,7 +268,8 @@ def _patch_zcr_edges(zcr_k, y, n_fft: int, hop: int) -> jnp.ndarray:
 
 
 def _spectral_front_end(y: jnp.ndarray, cfg, prec, method: str):
-    """``(s_power, mel_power, centroid, bandwidth, rolloff, zcr, rms)``.
+    """``(s_power, mel_power, centroid, bandwidth, rolloff, zcr, rms,
+    tuning_aux)``.
 
     With the CT Pallas STFT this is ONE fused kernel pass
     (:func:`tpuvae.ops.stft.stft_fused_features_ct_pallas`): the mel
@@ -276,20 +277,23 @@ def _spectral_front_end(y: jnp.ndarray, cfg, prec, method: str):
     block is VMEM-resident, and zcr/rms come from the unwindowed frames
     already on chip — the (B, 1025, T) spectrogram is written once and
     re-read only by the chroma/tuning stage, and the waveform is never
-    re-framed.  Other STFT methods use the staged XLA ops.
+    re-framed.  ``tuning_aux`` is a dict of keyword arguments for
+    :func:`tpuvae.dsp.chroma.chroma_batch` forwarding the kernel's
+    per-frame max power and padded bin-order spectrogram to the tuning
+    stage (empty on the staged paths, where tuning recomputes them).
+    Other STFT methods use the staged XLA ops.
     """
     sr, n_fft, hop = cfg.sample_rate, cfg.n_fft, cfg.hop_length
     if method == "ct_pallas":
         from tpuvae.ops.stft import stft_fused_features_ct_pallas
 
-        s_power, mel_p, cent, bw, roll, zcr_k, rms_k = (
-            stft_fused_features_ct_pallas(
-                y, n_fft, hop, sr=sr, n_mels=cfg.n_mels,
-                exact=prec == HIGHEST,
-            )
+        fe = stft_fused_features_ct_pallas(
+            y, n_fft, hop, sr=sr, n_mels=cfg.n_mels, exact=prec == HIGHEST,
         )
-        return (s_power, mel_p, cent, bw, roll,
-                _patch_zcr_edges(zcr_k, y, n_fft, hop), rms_k)
+        aux = {"colmax": fe.colmax_padded, "power_padded": fe.power_padded}
+        return (fe.power, fe.mel_power, fe.centroid, fe.bandwidth,
+                fe.rolloff, _patch_zcr_edges(fe.zcr, y, n_fft, hop),
+                fe.rms, aux)
     s_power = prim.stft_power(y, n_fft, hop, method=method,
                               precision=stft_precision_for(prec))
     s_mag = jnp.sqrt(s_power)
@@ -300,7 +304,7 @@ def _spectral_front_end(y: jnp.ndarray, cfg, prec, method: str):
     roll = spectral_rolloff(s_mag, freqs, precision=prec)
     z = zero_crossing_rate(y, n_fft, hop)
     r = rms(y, n_fft, hop)
-    return s_power, mel_p, cent, bw, roll, z, r
+    return s_power, mel_p, cent, bw, roll, z, r, {}
 
 
 def extract_basic_features(
@@ -315,12 +319,12 @@ def extract_basic_features(
     _require_batched(y, "extract_basic_features")
     sr, n_fft, hop = cfg.sample_rate, cfg.n_fft, cfg.hop_length
     prec, method = resolve_numerics(cfg, stft_method)
-    s_power, mel_p, cent, bw, roll, z, r = _spectral_front_end(
+    s_power, mel_p, cent, bw, roll, z, r, aux = _spectral_front_end(
         y, cfg, prec, method)
     mel_db = mel_db_ref_max(mel_p)
     mfcc = mfcc_from_mel_power(mel_p, cfg.n_mfcc, precision=prec)
     chrom = chroma_batch(s_power, sr, n_fft, n_chroma=cfg.n_chroma,
-                         precision=prec)
+                         precision=prec, **aux)
 
     parts = []
     m, s = _mean_std(mel_db)
@@ -368,11 +372,11 @@ def extract_flat_features(
     _require_batched(y, "extract_flat_features")
     sr, n_fft, hop = cfg.sample_rate, cfg.n_fft, cfg.hop_length
     prec, method = resolve_numerics(cfg, stft_method)
-    s_power, mel_p, cent, bw, roll, z, r = _spectral_front_end(
+    s_power, mel_p, cent, bw, roll, z, r, aux = _spectral_front_end(
         y, cfg, prec, method)
     mel_db = mel_db_ref_max(mel_p)
     chrom = chroma_batch(s_power, sr, n_fft, n_chroma=cfg.n_chroma,
-                         precision=prec)
+                         precision=prec, **aux)
 
     parts = []
     m, s = _mean_std(mel_db)
@@ -398,7 +402,7 @@ def extract_advanced(
     _require_batched(y, "extract_advanced")
     sr, n_fft, hop = cfg.sample_rate, cfg.n_fft, cfg.hop_length
     prec, method = resolve_numerics(cfg, stft_method)
-    s_power, mel_p, cent, bw, roll, z, r = _spectral_front_end(
+    s_power, mel_p, cent, bw, roll, z, r, aux = _spectral_front_end(
         y, cfg, prec, method)
     mel_db = mel_db_ref_max(mel_p)
 
@@ -414,7 +418,7 @@ def extract_advanced(
         mel_img = jnp.where(mask[None, None, :], padded, pad_val)
 
     chrom = chroma_batch(s_power, sr, n_fft, n_chroma=cfg.n_chroma,
-                         precision=prec)
+                         precision=prec, **aux)
 
     parts = []
     m, s = _mean_std(mel_db)

@@ -17,6 +17,7 @@ CPU) for tests.
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -219,15 +220,23 @@ def _ct_small_dft_coeffs(n1r: int):
 
 
 def _fused_stats_epilogue(pb, mel_fb, scale: float, n_bins: int,
-                          roll_percent: float = 0.85):
+                          roll_percent: float = 0.85, exact: bool = True):
     """Mel projection + centroid/bandwidth/rolloff from the bin-order power
     block ``pb (nbins_pad, F_BLOCK)`` while it is still VMEM-resident.
 
     Replaces four XLA passes over the full (B, 1025, T) spectrogram
     (sqrt + three weighted reductions, ``tpuvae.dsp.features``): here every
     reduction reads the block once from registers/VMEM.  The rolloff prefix
-    sum runs as 128-row blocked tril matmuls (exact fp32) instead of the
-    XLA-side (1025, 1025) tril einsum.
+    sum runs as 128-row blocked tril matmuls instead of the XLA-side
+    (1025, 1025) tril einsum.
+
+    ``exact=True`` runs the mel/rolloff dots at fp32 ``Precision.HIGHEST``.
+    ``exact=False`` halves the MXU passes: ``mel_fb`` arrives pre-split as
+    stacked bf16 hi/lo halves (the static filterbank split is exact) and
+    the power block is hi/lo-split in-kernel (bf16x3, ~1e-6 rel); the tril
+    matrix is 0/1 — exactly representable in bf16 — so the rolloff prefix
+    sum needs only the magnitude's hi/lo split (bf16x2, ~1e-7 rel; MXU
+    accumulation is fp32 either way).
     """
     nbins_pad, fblk = pb.shape
     tiny = np.finfo(np.float32).tiny
@@ -235,6 +244,7 @@ def _fused_stats_epilogue(pb, mel_fb, scale: float, n_bins: int,
     # rows >= n_bins hold beyond-Nyquist mirror bins (k2=64, k1>0) with
     # real power — they are sliced off the power output and must not feed
     # the magnitude statistics
+    cmax = jnp.max(jnp.where(rows < n_bins, pb, 0.0), axis=0, keepdims=True)
     mag = jnp.where(rows < n_bins, jnp.sqrt(pb), 0.0)
     freqs = rows.astype(jnp.float32) * scale
     den = jnp.sum(mag, axis=0, keepdims=True)                    # (1, F)
@@ -243,11 +253,18 @@ def _fused_stats_epilogue(pb, mel_fb, scale: float, n_bins: int,
     bw = jnp.sqrt(jnp.sum(mag * dev * dev, axis=0, keepdims=True)
                   / jnp.maximum(den, tiny))
 
-    mel = jax.lax.dot_general(
-        mel_fb, pb, dimension_numbers=(((1,), (0,)), ((), ())),
+    dotf = functools.partial(
+        jax.lax.dot_general, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
     )
+    if exact:
+        mel = dotf(mel_fb, pb, precision=jax.lax.Precision.HIGHEST)
+    else:
+        n_mel_rows = mel_fb.shape[0] // 2
+        fb_hi, fb_lo = mel_fb[:n_mel_rows], mel_fb[n_mel_rows:]
+        pb_hi = pb.astype(jnp.bfloat16)
+        pb_lo = (pb - pb_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        mel = dotf(fb_hi, pb_hi) + dotf(fb_hi, pb_lo) + dotf(fb_lo, pb_hi)
 
     # rolloff: lowest freq where the bin-axis prefix sum crosses 85% energy
     g = 128
@@ -256,25 +273,31 @@ def _fused_stats_epilogue(pb, mel_fb, scale: float, n_bins: int,
                              axis=0) if pad_rows else mag)
     row = jax.lax.broadcasted_iota(jnp.int32, (g, g), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (g, g), 1)
-    tril = (row >= col).astype(jnp.float32)
     rfreqs = jax.lax.broadcasted_iota(jnp.int32, (g, 1), 0).astype(
         jnp.float32) * scale
     thresh = roll_percent * den
     big = jnp.float32(np.finfo(np.float32).max)
     off = jnp.zeros((1, fblk), jnp.float32)
     roll = jnp.full((1, fblk), big, jnp.float32)
+    if exact:
+        tril = (row >= col).astype(jnp.float32)
+
+        def prefix(mg):
+            return dotf(tril, mg, precision=jax.lax.Precision.HIGHEST)
+    else:
+        tril16 = (row >= col).astype(jnp.bfloat16)   # 0/1: exact in bf16
+
+        def prefix(mg):
+            mg_hi = mg.astype(jnp.bfloat16)
+            mg_lo = (mg - mg_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            return dotf(tril16, mg_hi) + dotf(tril16, mg_lo)
     for gi in range(mag_p.shape[0] // g):
-        within = jax.lax.dot_general(
-            tril, mag_p[gi * g : (gi + 1) * g, :],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        within = prefix(mag_p[gi * g : (gi + 1) * g, :])
         cand = jnp.where(within + off >= thresh,
                          rfreqs + jnp.float32(gi * g * scale), big)
         roll = jnp.minimum(roll, jnp.min(cand, axis=0, keepdims=True))
         off = off + within[g - 1 : g, :]
-    return mel, cent, bw, roll
+    return mel, cent, bw, roll, cmax
 
 
 def _make_ct_kernel(ratio: int, n1r: int, span_rows: int, exact: bool,
@@ -372,8 +395,8 @@ def _make_ct_kernel(ratio: int, n1r: int, span_rows: int, exact: bool,
         pb = jnp.stack(parts, axis=1).reshape(CT_K2 * n1r, F_BLOCK)
         out_ref[0] = pb
         if fuse_scale is not None:
-            mel, cent, bwv, roll = _fused_stats_epilogue(
-                pb, mel_ref[:], fuse_scale, fuse_n_bins
+            mel, cent, bwv, roll, cmax = _fused_stats_epilogue(
+                pb, mel_ref[:], fuse_scale, fuse_n_bins, exact=exact
             )
             # zcr/rms from the unwindowed frames already in VMEM — same
             # center/zero padding as tpuvae.dsp.features.rms; zcr edge
@@ -388,8 +411,8 @@ def _make_ct_kernel(ratio: int, n1r: int, span_rows: int, exact: bool,
             zcrv = (jnp.sum(crossings, axis=1, keepdims=True) / n_fft).T
             mel_out[0] = mel
             stats_out[0] = jnp.concatenate(
-                [cent, bwv, roll, zcrv, rmsv,
-                 jnp.zeros((3, F_BLOCK), jnp.float32)], axis=0
+                [cent, bwv, roll, zcrv, rmsv, cmax,
+                 jnp.zeros((2, F_BLOCK), jnp.float32)], axis=0
             )
 
     return kernel
@@ -504,6 +527,31 @@ def _ct_inner_pallas_fused(y_rows, w, twre, twim, cre, cim, mel_fb,
     return out
 
 
+class FusedFrontEnd(NamedTuple):
+    """Outputs of :func:`stft_fused_features_ct_pallas`.
+
+    ``power``/``mel_power``/per-frame stats are sliced to the true
+    ``(n_bins, n_frames)`` geometry; ``power_padded``/``colmax_padded``
+    keep the kernel's 128-aligned bin-order layout ``(B, nbins_pad,
+    t_pad)`` / ``(B, t_pad)`` so downstream Pallas consumers (the tuning
+    kernel) get aligned, copy-free block fetches — feeding them the sliced
+    views instead costs a strided row-by-row DMA per block (measured 8 ms
+    per 128-clip batch on v5e).
+    """
+
+    power: jnp.ndarray
+    mel_power: jnp.ndarray
+    centroid: jnp.ndarray
+    bandwidth: jnp.ndarray
+    rolloff: jnp.ndarray
+    zcr: jnp.ndarray
+    rms: jnp.ndarray
+    colmax: jnp.ndarray
+    power_padded: jnp.ndarray
+    colmax_padded: jnp.ndarray
+    n_frames: int
+
+
 def stft_fused_features_ct_pallas(
     y: jnp.ndarray,
     n_fft: int = 2048,
@@ -514,16 +562,18 @@ def stft_fused_features_ct_pallas(
     pad_mode: str = "constant",
     exact: bool = False,
     interpret: bool | None = None,
-):
+) -> FusedFrontEnd:
     """Cooley-Tukey STFT with the spectral-feature epilogues fused in.
 
     One kernel pass emits ``(power (B, n_fft//2+1, T), mel_power
-    (B, n_mels, T), centroid, bandwidth, rolloff, zcr, rms)`` (each
+    (B, n_mels, T), centroid, bandwidth, rolloff, zcr, rms, colmax)`` (each
     ``(B, T)``) — the mel projection and the magnitude statistics are
     computed while each power block is VMEM-resident, and zcr/rms come from
     the unwindowed frames already on chip, so the downstream feature
     extractors (``tpuvae.dsp.features``) neither re-read the full
-    spectrogram nor re-frame the waveform.  The zcr of the few frames whose
+    spectrogram nor re-frame the waveform.  ``colmax`` is the per-frame max
+    power over the real bins — the tuning stage's piptrack reference max,
+    computed here so it never re-reads the (B, 1025, T) spectrogram.  The zcr of the few frames whose
     window overlaps the center padding assumes zero padding; librosa
     edge-pads there, so callers patch those frames
     (``features._patch_zcr_edges``).  Same geometry constraints as
@@ -552,6 +602,14 @@ def stft_fused_features_ct_pallas(
     fb = prim.mel_filterbank(sr, n_fft, n_mels).astype(np.float32)
     fb_pad = np.zeros((n_mels_pad, nbins_pad), np.float32)
     fb_pad[:n_mels, :n_bins] = fb
+    if not exact:
+        # pre-split the static filterbank into exact bf16 hi/lo halves for
+        # the kernel's bf16x3 mel projection (see _fused_stats_epilogue)
+        fb_hi = np.asarray(fb_pad.astype(jnp.bfloat16))
+        fb_lo = np.asarray(
+            (fb_pad - fb_hi.astype(np.float32)).astype(jnp.bfloat16)
+        )
+        fb_pad = np.concatenate([fb_hi, fb_lo], axis=0)
 
     consts = _ct_pallas_consts(n_fft, exact)
     p, mel, stats = _ct_inner_pallas_fused(
@@ -559,14 +617,18 @@ def stft_fused_features_ct_pallas(
         ratio=ratio, n1r=n1r, n_blocks=n_blocks, exact=exact,
         interpret=interpret, scale=float(sr) / n_fft, n_mels_pad=n_mels_pad,
     )
-    return (
-        p[:, :n_bins, :n_frames],
-        mel[:, :n_mels, :n_frames],
-        stats[:, 0, :n_frames],
-        stats[:, 1, :n_frames],
-        stats[:, 2, :n_frames],
-        stats[:, 3, :n_frames],     # zcr (zero-pad edges; caller patches)
-        stats[:, 4, :n_frames],     # rms
+    return FusedFrontEnd(
+        power=p[:, :n_bins, :n_frames],
+        mel_power=mel[:, :n_mels, :n_frames],
+        centroid=stats[:, 0, :n_frames],
+        bandwidth=stats[:, 1, :n_frames],
+        rolloff=stats[:, 2, :n_frames],
+        zcr=stats[:, 3, :n_frames],  # zero-pad edges; caller patches
+        rms=stats[:, 4, :n_frames],
+        colmax=stats[:, 5, :n_frames],
+        power_padded=p,
+        colmax_padded=stats[:, 5, :],
+        n_frames=n_frames,
     )
 
 

@@ -10,6 +10,18 @@ resident in VMEM.  The staged XLA version re-reads the band from HBM for
 every stage and every median-search round; fusing it removes ~10 ms per
 128-clip batch on v5e.
 
+Performance notes (v5e, 128×30 s batch):
+
+* The kernel accepts the fused CT STFT kernel's **padded** bin-order power
+  array directly (lane dim = a 128 multiple).  Feeding it the XLA-sliced
+  ``(B, 1025, 1292)`` view instead makes every VMEM block fetch a strided
+  row-by-row DMA — measured 8.2 ms of the 17.4 ms kernel total — and
+  materializes a (B, band, T) slice copy in HBM.  Pad columns (frames
+  ≥ ``n_frames``) are masked out of the candidate set in-kernel, which is
+  exact: the mask simply excludes them from the median count and the vote.
+* The histogram vote compares/accumulates in int32 (measured ~1.3 ms
+  faster than float32 compare+sum; bf16 compares don't exist on v5e).
+
 The band passed in is 8-row-aligned and includes rows below piptrack's
 ``fmin`` (their ``freq_mask`` is 0, so they contribute nothing — results
 match the exact banded evaluation in ``chroma._tuning_candidates``).
@@ -31,8 +43,9 @@ from tpuvae.dsp.primitives import fft_frequencies
 _I32_MAX = 2**31 - 1
 
 
-def _make_tuning_kernel(n_rows: int, n_frames: int, scale: float,
-                        bins_per_octave: int, n_bins: int, binw: float):
+def _make_tuning_kernel(n_rows: int, n_frames: int, n_valid: int,
+                        scale: float, bins_per_octave: int, n_bins: int,
+                        binw: float):
     def kernel(band_ref, refmax_ref, fmask_ref, binsb_ref, edges_ref,
                out_ref):
         s = band_ref[0]                               # (R, T)
@@ -52,6 +65,11 @@ def _make_tuning_kernel(n_rows: int, n_frames: int, scale: float,
         left = jnp.concatenate([st[:1], st[:-1]], axis=0)
         right = jnp.concatenate([st[1:], st[-1:]], axis=0)
         mask = (st > left) & (st >= right) & (fmask_ref[:] > 0.5)
+        if n_valid < n_frames:
+            # pad frames (beyond the clip's true frame count) can hold real
+            # window-tail power — exclude them from the candidate set
+            cols = jax.lax.broadcasted_iota(jnp.int32, (1, n_frames), 1)
+            mask = mask & (cols < n_valid)
         pitches = jnp.where(mask, (binsb_ref[:] + shift) * scale, 0.0)
         mags = jnp.where(mask, s + dskew, 0.0)
 
@@ -91,7 +109,7 @@ def _make_tuning_kernel(n_rows: int, n_frames: int, scale: float,
         v_hi = jnp.where((k_hi == k_lo) | (cnt_le >= k_hi + 1), v_lo, v_next)
         thresh = jnp.where(n > 0, 0.5 * (v_lo + v_hi), 0.0)
 
-        # --- residual histogram vote ------------------------------------
+        # --- residual histogram vote (int32 compares/sums) ---------------
         sel = mask & (mags >= thresh)
         safe_p = jnp.where(sel, pitches, 440.0)
         octs = jnp.log2(16.0 * safe_p / 440.0)
@@ -100,23 +118,23 @@ def _make_tuning_kernel(n_rows: int, n_frames: int, scale: float,
         bucket = jnp.clip(
             jnp.floor((residual + 0.5) / binw), 0.0, float(n_bins - 1)
         )
-        bucket_sel = jnp.where(sel, bucket, float(n_bins))
+        bucket_i = jnp.where(sel, bucket, float(n_bins)).astype(jnp.int32)
         cnts = jnp.concatenate(
             [
-                jnp.sum((bucket_sel == float(bb)).astype(jnp.float32),
+                jnp.sum((bucket_i == bb).astype(jnp.int32),
                         axis=0, keepdims=True)
                 for bb in range(n_bins)
             ],
             axis=0,
         )                                              # (n_bins, T)
-        counts = jnp.sum(cnts, axis=1, keepdims=True)  # (n_bins, 1)
+        counts = jnp.sum(cnts, axis=1, keepdims=True).astype(jnp.float32)
         maxv = jnp.max(counts)
         iota = jax.lax.broadcasted_iota(
             jnp.int32, (n_bins, 1), 0
         ).astype(jnp.float32)
         first = jnp.min(jnp.where(counts == maxv, iota, float(n_bins)))
         tun = jnp.sum(jnp.where(iota == first, edges_ref[:], 0.0))
-        any_sel = jnp.sum(sel.astype(jnp.float32)) > 0.0
+        any_sel = jnp.sum(sel.astype(jnp.int32)) > 0
         out_ref[0, 0, 0] = jnp.where(any_sel, tun, 0.0)
 
     return kernel
@@ -124,14 +142,15 @@ def _make_tuning_kernel(n_rows: int, n_frames: int, scale: float,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scale", "bins_per_octave", "n_bins", "binw",
+    static_argnames=("n_valid", "scale", "bins_per_octave", "n_bins", "binw",
                      "interpret"),
 )
-def _tuning_pallas(band, refmax, fmask, binsb, edges, scale: float,
-                   bins_per_octave: int, n_bins: int, binw: float,
-                   interpret: bool):
+def _tuning_pallas(band, refmax, fmask, binsb, edges, n_valid: int,
+                   scale: float, bins_per_octave: int, n_bins: int,
+                   binw: float, interpret: bool):
     b, r, t = band.shape
-    kernel = _make_tuning_kernel(r, t, scale, bins_per_octave, n_bins, binw)
+    kernel = _make_tuning_kernel(r, t, n_valid, scale, bins_per_octave,
+                                 n_bins, binw)
     const = lambda m: pl.BlockSpec(m.shape, lambda b_: tuple([0] * m.ndim),
                                    memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -179,28 +198,45 @@ def estimate_tuning_pallas(
     resolution: float = 0.01,
     bins_per_octave: int = 12,
     *,
+    colmax: jnp.ndarray | None = None,
+    n_frames: int | None = None,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Batched fused tuning estimation ``(B, n_bins, T) → (B,)``.
 
     Numerically identical to ``chroma.estimate_tuning_from_power`` per clip
     (librosa piptrack defaults: fmin=150, fmax=4000, threshold=0.1).
+
+    ``s_power`` may be the fused CT STFT kernel's padded bin-order output
+    (rows ≥ ``n_fft//2 + 1`` are ignored; pass ``n_frames`` = the true
+    frame count so pad columns are masked out).  ``colmax (B, T)``
+    optionally supplies the per-frame full-spectrum max power (the fused
+    kernel emits it) so the piptrack reference max needs no extra pass over
+    the spectrogram here.
     """
     if interpret is None:
         from tpuvae.ops.stft import _interpret_default
 
         interpret = _interpret_default()
-    b, n_rows_total, t = s_power.shape
+    b, n_rows_in, t = s_power.shape
     from tpuvae.dsp.chroma import PIPTRACK_THRESHOLD
 
+    n_rows_real = min(n_rows_in, n_fft // 2 + 1)
+    if n_frames is None:
+        n_frames = t
     lo8, r8, fmask, binsb, edges, n_bins, binw = _tuning_consts(
-        sr, n_fft, n_rows_total, resolution
+        sr, n_fft, n_rows_real, resolution
     )
-    refmax = PIPTRACK_THRESHOLD * jnp.max(s_power, axis=1, keepdims=True)
+    if colmax is not None:
+        full_max = colmax[:, None, :]
+    else:
+        real = jax.lax.slice_in_dim(s_power, 0, n_rows_real, axis=1)
+        full_max = jnp.max(real, axis=1, keepdims=True)
+    refmax = PIPTRACK_THRESHOLD * full_max
     band = jax.lax.slice_in_dim(s_power, lo8, lo8 + r8, axis=1)
     out = _tuning_pallas(
         band, refmax, jnp.asarray(fmask), jnp.asarray(binsb),
-        jnp.asarray(edges), scale=float(sr) / n_fft,
+        jnp.asarray(edges), n_valid=int(n_frames), scale=float(sr) / n_fft,
         bins_per_octave=bins_per_octave, n_bins=n_bins, binw=binw,
         interpret=interpret,
     )
