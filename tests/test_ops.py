@@ -138,7 +138,12 @@ def test_fused_tuning_kernel_padded_input_matches_sliced():
     y = jnp.asarray(np.stack(clips))
     fe = stft_fused_features_ct_pallas(y, 2048, 512, sr=22050, n_mels=16)
     assert fe.power_padded.shape[-1] > fe.n_frames  # pad columns exist
-    want = np.asarray(estimate_tuning_pallas(fe.power, 22050, 2048))
+    assert fe.power.dtype == jnp.bfloat16  # fast mode stores bf16
+    # same colmax both ways: the fused kernel's f32 colmax is the piptrack
+    # reference in production, while a bf16-recomputed max would differ
+    want = np.asarray(
+        estimate_tuning_pallas(fe.power, 22050, 2048, colmax=fe.colmax)
+    )
     got = np.asarray(
         estimate_tuning_pallas(
             fe.power_padded, 22050, 2048, colmax=fe.colmax_padded,

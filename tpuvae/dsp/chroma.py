@@ -255,6 +255,7 @@ def estimate_tuning_from_power(
     bins_per_octave: int = 12,
 ) -> jnp.ndarray:
     """librosa.estimate_tuning for one clip → scalar in [-0.5, 0.5) bins."""
+    s_power = s_power.astype(jnp.float32)
     pitches, mags, mask = _tuning_candidates(s_power, sr, n_fft)
     thresh = _masked_median(mags, mask)
     return _tuning_vote(pitches, mags, mask, thresh, resolution,
@@ -304,6 +305,7 @@ def estimate_tuning_batch(
 
     from tpuvae.ops.select import masked_median_batch
 
+    s_power = s_power.astype(jnp.float32)
     if colmax is None:
         pitches, mags, mask = jax.vmap(
             lambda s: _tuning_candidates(s, sr, n_fft)
@@ -311,7 +313,7 @@ def estimate_tuning_batch(
     else:
         pitches, mags, mask = jax.vmap(
             lambda s, cm: _tuning_candidates(s, sr, n_fft, colmax=cm)
-        )(s_power, colmax[:, :t_valid])
+        )(s_power, colmax[:, :t_valid].astype(jnp.float32))
     b = mags.shape[0]
     thresh = masked_median_batch(mags.reshape(b, -1), mask.reshape(b, -1))
     return jax.vmap(
@@ -338,6 +340,11 @@ def chroma_from_power(
             s_power, sr, n_fft, bins_per_octave=n_chroma
         )
     fb = chroma_filterbank(sr, n_fft, tuning, n_chroma=n_chroma)
+    if s_power.dtype == jnp.bfloat16:
+        # fast-mode bf16 spectrogram: project with a bf16 filterbank so the
+        # (B, n_bins, T) read stays half-width (a mixed-dtype einsum would
+        # materialize a full f32 convert of the spectrogram first)
+        fb = fb.astype(jnp.bfloat16)
     raw = jnp.einsum("cf,ft->ct", fb, s_power,
                      preferred_element_type=jnp.float32,
                      precision=precision or jax.lax.Precision.HIGHEST)

@@ -301,7 +301,8 @@ def _fused_stats_epilogue(pb, mel_fb, scale: float, n_bins: int,
 
 
 def _make_ct_kernel(ratio: int, n1r: int, span_rows: int, exact: bool,
-                    fuse_scale: float | None = None):
+                    fuse_scale: float | None = None,
+                    power_dtype=jnp.float32):
     fuse_n_bins = n1r * CT_N2 // 2 + 1
     cos16, sin16 = _ct_small_dft_coeffs(n1r)
     nk1 = n1r // 2 + 1
@@ -393,7 +394,14 @@ def _make_ct_kernel(ratio: int, n1r: int, span_rows: int, exact: bool,
             pt[:, k1 * F_BLOCK : (k1 + 1) * F_BLOCK] for k1 in range(n1r)
         ]
         pb = jnp.stack(parts, axis=1).reshape(CT_K2 * n1r, F_BLOCK)
-        out_ref[0] = pb
+        # fast mode stores the spectrogram bf16: its only consumers are the
+        # chroma projection and tuning estimation (atol-dominated features),
+        # and this chip is HBM-bandwidth-bound — halving the (B, 1152, T)
+        # write and every downstream read is worth ~6 ms/128-clip batch.
+        # The in-kernel epilogue (mel/centroid/bandwidth/rolloff/colmax)
+        # always reads the full-precision pb.
+        out_ref[0] = (pb if power_dtype == jnp.float32
+                      else pb.astype(power_dtype))
         if fuse_scale is not None:
             mel, cent, bwv, roll, cmax = _fused_stats_epilogue(
                 pb, mel_ref[:], fuse_scale, fuse_n_bins, exact=exact
@@ -493,7 +501,9 @@ def _ct_inner_pallas_fused(y_rows, w, twre, twim, cre, cim, mel_fb,
     b, _, hop = y_rows.shape
     span_rows = _round_up(F_BLOCK + ratio - 1, 8)
     grid = (b, n_blocks)
-    kernel = _make_ct_kernel(ratio, n1r, span_rows, exact, fuse_scale=scale)
+    p_dtype = jnp.float32 if exact else jnp.bfloat16
+    kernel = _make_ct_kernel(ratio, n1r, span_rows, exact, fuse_scale=scale,
+                             power_dtype=p_dtype)
     const_spec = lambda m: pl.BlockSpec(m.shape, lambda b_, f_: (0, 0),
                                         memory_space=pltpu.VMEM)
     t_pad = n_blocks * F_BLOCK
@@ -514,7 +524,7 @@ def _ct_inner_pallas_fused(y_rows, w, twre, twim, cre, cim, mel_fb,
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((b, CT_K2 * n1r, t_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, CT_K2 * n1r, t_pad), p_dtype),
             jax.ShapeDtypeStruct((b, n_mels_pad, t_pad), jnp.float32),
             jax.ShapeDtypeStruct((b, 8, t_pad), jnp.float32),
         ),
@@ -573,7 +583,17 @@ def stft_fused_features_ct_pallas(
     extractors (``tpuvae.dsp.features``) neither re-read the full
     spectrogram nor re-frame the waveform.  ``colmax`` is the per-frame max
     power over the real bins — the tuning stage's piptrack reference max,
-    computed here so it never re-reads the (B, 1025, T) spectrogram.  The zcr of the few frames whose
+    computed here so it never re-reads the (B, 1025, T) spectrogram.
+
+    With ``exact=False`` the stored spectrogram (``power``/``power_padded``)
+    is **bfloat16**: its only consumers are the chroma projection and
+    tuning estimation, whose features sit inside the fast-mode accuracy
+    contract's atol, and halving the spectrogram's HBM write plus every
+    downstream read is a large win on HBM-bandwidth-bound parts.  All
+    in-kernel statistics (mel, centroid, bandwidth, rolloff, colmax) are
+    computed from the full-precision power and stay float32.
+
+    The zcr of the few frames whose
     window overlaps the center padding assumes zero padding; librosa
     edge-pads there, so callers patch those frames
     (``features._patch_zcr_edges``).  Same geometry constraints as

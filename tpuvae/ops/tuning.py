@@ -10,15 +10,20 @@ resident in VMEM.  The staged XLA version re-reads the band from HBM for
 every stage and every median-search round; fusing it removes ~10 ms per
 128-clip batch on v5e.
 
-Performance notes (v5e, 128×30 s batch):
+Performance notes (v5e through the axon relay, 128×30 s batch — this part
+is HBM-bandwidth-bound at ~75 GB/s read effective):
 
-* The kernel accepts the fused CT STFT kernel's **padded** bin-order power
-  array directly (lane dim = a 128 multiple).  Feeding it the XLA-sliced
-  ``(B, 1025, 1292)`` view instead makes every VMEM block fetch a strided
-  row-by-row DMA — measured 8.2 ms of the 17.4 ms kernel total — and
-  materializes a (B, band, T) slice copy in HBM.  Pad columns (frames
-  ≥ ``n_frames``) are masked out of the candidate set in-kernel, which is
-  exact: the mask simply excludes them from the median count and the vote.
+* :func:`estimate_tuning_pallas` given ``n_frames`` + the fused CT STFT
+  kernel's **padded** bin-order power array DMAs the candidate band
+  straight out of it with a double-buffered manual copy — no XLA band
+  slice is materialized and only the band rows (~1/3 of the spectrogram)
+  are ever read.  Feeding the sliced ``(B, 1025, 1292)`` view instead costs
+  a (B, band, T) slice round-trip plus strided row-by-row block DMAs
+  (lane dim not a 128 multiple) — measured 8.2 ms of a 17.4 ms kernel
+  total.  Pad columns (frames ≥ ``n_frames``) can hold real window-tail
+  power and are masked out of the candidate set in-kernel (exact).
+* bfloat16 power (the fused kernel's fast mode) is consumed directly —
+  half the DMA bytes — and widened to f32 in VMEM.
 * The histogram vote compares/accumulates in int32 (measured ~1.3 ms
   faster than float32 compare+sum; bf16 compares don't exist on v5e).
 
@@ -43,99 +48,148 @@ from tpuvae.dsp.primitives import fft_frequencies
 _I32_MAX = 2**31 - 1
 
 
+def _tuning_body(s, refmax, fmask, binsb, edges, n_frames: int, n_valid: int,
+                 scale: float, bins_per_octave: int, n_bins: int,
+                 binw: float):
+    """Per-clip tuning estimate from the VMEM-resident band ``s (R, T)``.
+
+    Shared by the BlockSpec-fetched and manual-DMA kernel variants.
+    Returns the (1, 1) tuning scalar.
+    """
+    z1 = jnp.zeros((1, n_frames), jnp.float32)
+
+    # --- piptrack: parabolic interpolation + local-max mask --------------
+    up, dn = s[2:], s[:-2]
+    avg_c = 0.5 * (up - dn)
+    den = 2.0 * s[1:-1] - up - dn
+    tiny = float(np.finfo(np.float32).tiny)
+    shift_c = avg_c / (den + jnp.where(jnp.abs(den) < tiny, 1.0, 0.0))
+    avg = jnp.concatenate([z1, avg_c, z1], axis=0)
+    shift = jnp.concatenate([z1, shift_c, z1], axis=0)
+    dskew = 0.5 * avg * shift
+    st = jnp.where(s > refmax, s, 0.0)
+    left = jnp.concatenate([st[:1], st[:-1]], axis=0)
+    right = jnp.concatenate([st[1:], st[-1:]], axis=0)
+    mask = (st > left) & (st >= right) & (fmask > 0.5)
+    if n_valid < n_frames:
+        # pad frames (beyond the clip's true frame count) can hold real
+        # window-tail power — exclude them from the candidate set
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, n_frames), 1)
+        mask = mask & (cols < n_valid)
+    pitches = jnp.where(mask, (binsb + shift) * scale, 0.0)
+    mags = jnp.where(mask, s + dskew, 0.0)
+
+    # --- exact masked median of mags (key-space binary search) ----------
+    from tpuvae.dsp.chroma import _float_order_key, _key_to_float
+
+    packed = jnp.where(mask, _float_order_key(mags), jnp.uint32(0xFFFFFFFF))
+    ikey = jax.lax.bitcast_convert_type(
+        packed ^ jnp.uint32(0x80000000), jnp.int32
+    )
+    n = jnp.sum(mask.astype(jnp.int32))
+    k_lo = jnp.maximum((n - 1) // 2, 0)
+    k_hi = jnp.maximum(n // 2, 0)
+
+    def body(_, st_):
+        lo, hi = st_
+        mid = (lo & hi) + ((lo ^ hi) >> 1)
+        cnt = jnp.sum((ikey <= mid).astype(jnp.int32))
+        fnd = cnt >= k_lo + 1
+        return jnp.where(fnd, lo, mid + 1), jnp.where(fnd, mid, hi)
+
+    klo_i, _ = jax.lax.fori_loop(
+        0, 32, body, (jnp.int32(-(2**31)), jnp.int32(_I32_MAX))
+    )
+    cnt_le = jnp.sum((ikey <= klo_i).astype(jnp.int32))
+    knext_i = jnp.min(jnp.where(ikey > klo_i, ikey, jnp.int32(_I32_MAX)))
+
+    def key_to_float(ki):                          # (1,1) float value
+        u = jax.lax.bitcast_convert_type(
+            jnp.full((1, 1), ki, jnp.int32), jnp.uint32
+        ) ^ jnp.uint32(0x80000000)
+        return _key_to_float(u)
+
+    v_lo = key_to_float(klo_i)
+    v_next = key_to_float(knext_i)
+    v_hi = jnp.where((k_hi == k_lo) | (cnt_le >= k_hi + 1), v_lo, v_next)
+    thresh = jnp.where(n > 0, 0.5 * (v_lo + v_hi), 0.0)
+
+    # --- residual histogram vote (int32 compares/sums) -------------------
+    sel = mask & (mags >= thresh)
+    safe_p = jnp.where(sel, pitches, 440.0)
+    octs = jnp.log2(16.0 * safe_p / 440.0)
+    residual = jnp.mod(float(bins_per_octave) * octs, 1.0)
+    residual = jnp.where(residual >= 0.5, residual - 1.0, residual)
+    bucket = jnp.clip(
+        jnp.floor((residual + 0.5) / binw), 0.0, float(n_bins - 1)
+    )
+    bucket_i = jnp.where(sel, bucket, float(n_bins)).astype(jnp.int32)
+    cnts = jnp.concatenate(
+        [
+            jnp.sum((bucket_i == bb).astype(jnp.int32),
+                    axis=0, keepdims=True)
+            for bb in range(n_bins)
+        ],
+        axis=0,
+    )                                              # (n_bins, T)
+    counts = jnp.sum(cnts, axis=1, keepdims=True).astype(jnp.float32)
+    maxv = jnp.max(counts)
+    iota = jax.lax.broadcasted_iota(
+        jnp.int32, (n_bins, 1), 0
+    ).astype(jnp.float32)
+    first = jnp.min(jnp.where(counts == maxv, iota, float(n_bins)))
+    tun = jnp.sum(jnp.where(iota == first, edges, 0.0))
+    any_sel = jnp.sum(sel.astype(jnp.int32)) > 0
+    return jnp.where(any_sel, tun, 0.0)
+
+
 def _make_tuning_kernel(n_rows: int, n_frames: int, n_valid: int,
                         scale: float, bins_per_octave: int, n_bins: int,
                         binw: float):
     def kernel(band_ref, refmax_ref, fmask_ref, binsb_ref, edges_ref,
                out_ref):
-        s = band_ref[0]                               # (R, T)
-        refmax = refmax_ref[0]                        # (1, T)
-        z1 = jnp.zeros((1, n_frames), jnp.float32)
-
-        # --- piptrack: parabolic interpolation + local-max mask ----------
-        up, dn = s[2:], s[:-2]
-        avg_c = 0.5 * (up - dn)
-        den = 2.0 * s[1:-1] - up - dn
-        tiny = float(np.finfo(np.float32).tiny)
-        shift_c = avg_c / (den + jnp.where(jnp.abs(den) < tiny, 1.0, 0.0))
-        avg = jnp.concatenate([z1, avg_c, z1], axis=0)
-        shift = jnp.concatenate([z1, shift_c, z1], axis=0)
-        dskew = 0.5 * avg * shift
-        st = jnp.where(s > refmax, s, 0.0)
-        left = jnp.concatenate([st[:1], st[:-1]], axis=0)
-        right = jnp.concatenate([st[1:], st[-1:]], axis=0)
-        mask = (st > left) & (st >= right) & (fmask_ref[:] > 0.5)
-        if n_valid < n_frames:
-            # pad frames (beyond the clip's true frame count) can hold real
-            # window-tail power — exclude them from the candidate set
-            cols = jax.lax.broadcasted_iota(jnp.int32, (1, n_frames), 1)
-            mask = mask & (cols < n_valid)
-        pitches = jnp.where(mask, (binsb_ref[:] + shift) * scale, 0.0)
-        mags = jnp.where(mask, s + dskew, 0.0)
-
-        # --- exact masked median of mags (key-space binary search) ------
-        from tpuvae.dsp.chroma import _float_order_key, _key_to_float
-
-        packed = jnp.where(mask, _float_order_key(mags),
-                           jnp.uint32(0xFFFFFFFF))
-        ikey = jax.lax.bitcast_convert_type(
-            packed ^ jnp.uint32(0x80000000), jnp.int32
+        s = band_ref[0].astype(jnp.float32)
+        out_ref[0, 0, 0] = _tuning_body(
+            s, refmax_ref[0], fmask_ref[:], binsb_ref[:], edges_ref[:],
+            n_frames, n_valid, scale, bins_per_octave, n_bins, binw,
         )
-        n = jnp.sum(mask.astype(jnp.int32))
-        k_lo = jnp.maximum((n - 1) // 2, 0)
-        k_hi = jnp.maximum(n // 2, 0)
 
-        def body(_, st_):
-            lo, hi = st_
-            mid = (lo & hi) + ((lo ^ hi) >> 1)
-            cnt = jnp.sum((ikey <= mid).astype(jnp.int32))
-            fnd = cnt >= k_lo + 1
-            return jnp.where(fnd, lo, mid + 1), jnp.where(fnd, mid, hi)
+    return kernel
 
-        klo_i, _ = jax.lax.fori_loop(
-            0, 32, body, (jnp.int32(-(2**31)), jnp.int32(_I32_MAX))
+
+def _make_tuning_kernel_dma(lo8: int, r8: int, n_frames: int, n_valid: int,
+                            scale: float, bins_per_octave: int, n_bins: int,
+                            binw: float):
+    """Variant reading the band rows straight from the (padded) power array
+    in HBM with a double-buffered manual DMA — no XLA band slice."""
+
+    def band_copy(p_hbm, buf_ref, sem_ref, clip, slot):
+        return pltpu.make_async_copy(
+            p_hbm.at[clip, pl.ds(lo8, r8), :], buf_ref.at[slot],
+            sem_ref.at[slot],
         )
-        cnt_le = jnp.sum((ikey <= klo_i).astype(jnp.int32))
-        knext_i = jnp.min(jnp.where(ikey > klo_i, ikey, jnp.int32(_I32_MAX)))
 
-        def key_to_float(ki):                          # (1,1) float value
-            u = jax.lax.bitcast_convert_type(
-                jnp.full((1, 1), ki, jnp.int32), jnp.uint32
-            ) ^ jnp.uint32(0x80000000)
-            return _key_to_float(u)
+    def kernel(p_hbm, refmax_ref, fmask_ref, binsb_ref, edges_ref,
+               out_ref, buf_ref, sem_ref):
+        b = pl.program_id(0)
+        nb = pl.num_programs(0)
+        slot = jax.lax.rem(b, 2)
 
-        v_lo = key_to_float(klo_i)
-        v_next = key_to_float(knext_i)
-        v_hi = jnp.where((k_hi == k_lo) | (cnt_le >= k_hi + 1), v_lo, v_next)
-        thresh = jnp.where(n > 0, 0.5 * (v_lo + v_hi), 0.0)
+        @pl.when(b == 0)
+        def _():
+            band_copy(p_hbm, buf_ref, sem_ref, 0, 0).start()
 
-        # --- residual histogram vote (int32 compares/sums) ---------------
-        sel = mask & (mags >= thresh)
-        safe_p = jnp.where(sel, pitches, 440.0)
-        octs = jnp.log2(16.0 * safe_p / 440.0)
-        residual = jnp.mod(float(bins_per_octave) * octs, 1.0)
-        residual = jnp.where(residual >= 0.5, residual - 1.0, residual)
-        bucket = jnp.clip(
-            jnp.floor((residual + 0.5) / binw), 0.0, float(n_bins - 1)
+        @pl.when(b + 1 < nb)
+        def _():
+            band_copy(p_hbm, buf_ref, sem_ref, b + 1,
+                      jax.lax.rem(b + 1, 2)).start()
+
+        band_copy(p_hbm, buf_ref, sem_ref, b, slot).wait()
+        s = buf_ref[slot].astype(jnp.float32)
+        out_ref[0, 0, 0] = _tuning_body(
+            s, refmax_ref[0], fmask_ref[:], binsb_ref[:], edges_ref[:],
+            n_frames, n_valid, scale, bins_per_octave, n_bins, binw,
         )
-        bucket_i = jnp.where(sel, bucket, float(n_bins)).astype(jnp.int32)
-        cnts = jnp.concatenate(
-            [
-                jnp.sum((bucket_i == bb).astype(jnp.int32),
-                        axis=0, keepdims=True)
-                for bb in range(n_bins)
-            ],
-            axis=0,
-        )                                              # (n_bins, T)
-        counts = jnp.sum(cnts, axis=1, keepdims=True).astype(jnp.float32)
-        maxv = jnp.max(counts)
-        iota = jax.lax.broadcasted_iota(
-            jnp.int32, (n_bins, 1), 0
-        ).astype(jnp.float32)
-        first = jnp.min(jnp.where(counts == maxv, iota, float(n_bins)))
-        tun = jnp.sum(jnp.where(iota == first, edges_ref[:], 0.0))
-        any_sel = jnp.sum(sel.astype(jnp.int32)) > 0
-        out_ref[0, 0, 0] = jnp.where(any_sel, tun, 0.0)
 
     return kernel
 
@@ -168,6 +222,40 @@ def _tuning_pallas(band, refmax, fmask, binsb, edges, n_valid: int,
         out_shape=jax.ShapeDtypeStruct((b, 1, 1), jnp.float32),
         interpret=interpret,
     )(band, refmax, fmask, binsb, edges)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("lo8", "r8", "n_valid", "scale", "bins_per_octave",
+                     "n_bins", "binw", "interpret"),
+)
+def _tuning_pallas_from_padded(power, refmax, fmask, binsb, edges, lo8: int,
+                               r8: int, n_valid: int, scale: float,
+                               bins_per_octave: int, n_bins: int,
+                               binw: float, interpret: bool):
+    b, _, t = power.shape
+    kernel = _make_tuning_kernel_dma(lo8, r8, t, n_valid, scale,
+                                     bins_per_octave, n_bins, binw)
+    const = lambda m: pl.BlockSpec(m.shape, lambda b_: tuple([0] * m.ndim),
+                                   memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),   # padded power in HBM
+            pl.BlockSpec((1, 1, t), lambda b_: (b_, 0, 0),
+                         memory_space=pltpu.VMEM),
+            const(fmask), const(binsb), const(edges),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 1), lambda b_: (b_, 0, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 1, 1), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, r8, t), power.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(power, refmax, fmask, binsb, edges)
 
 
 @functools.lru_cache(maxsize=8)
@@ -207,9 +295,11 @@ def estimate_tuning_pallas(
     Numerically identical to ``chroma.estimate_tuning_from_power`` per clip
     (librosa piptrack defaults: fmin=150, fmax=4000, threshold=0.1).
 
-    ``s_power`` may be the fused CT STFT kernel's padded bin-order output
-    (rows ≥ ``n_fft//2 + 1`` are ignored; pass ``n_frames`` = the true
-    frame count so pad columns are masked out).  ``colmax (B, T)``
+    ``s_power`` may be the fused CT STFT kernel's padded bin-order output —
+    float32 or bfloat16 (fast mode); rows ≥ ``n_fft//2 + 1`` are ignored;
+    pass ``n_frames`` = the true frame count so pad columns are masked out.
+    When ``n_frames`` is given, the band rows are manual-DMA'd straight out
+    of ``s_power`` in HBM (no XLA band slice).  ``colmax (B, T)``
     optionally supplies the per-frame full-spectrum max power (the fused
     kernel emits it) so the piptrack reference max needs no extra pass over
     the spectrogram here.
@@ -222,22 +312,31 @@ def estimate_tuning_pallas(
     from tpuvae.dsp.chroma import PIPTRACK_THRESHOLD
 
     n_rows_real = min(n_rows_in, n_fft // 2 + 1)
+    padded = n_frames is not None
     if n_frames is None:
         n_frames = t
     lo8, r8, fmask, binsb, edges, n_bins, binw = _tuning_consts(
         sr, n_fft, n_rows_real, resolution
     )
     if colmax is not None:
-        full_max = colmax[:, None, :]
+        full_max = colmax[:, None, :].astype(jnp.float32)
     else:
         real = jax.lax.slice_in_dim(s_power, 0, n_rows_real, axis=1)
-        full_max = jnp.max(real, axis=1, keepdims=True)
+        full_max = jnp.max(real, axis=1, keepdims=True).astype(jnp.float32)
     refmax = PIPTRACK_THRESHOLD * full_max
-    band = jax.lax.slice_in_dim(s_power, lo8, lo8 + r8, axis=1)
-    out = _tuning_pallas(
-        band, refmax, jnp.asarray(fmask), jnp.asarray(binsb),
-        jnp.asarray(edges), n_valid=int(n_frames), scale=float(sr) / n_fft,
-        bins_per_octave=bins_per_octave, n_bins=n_bins, binw=binw,
-        interpret=interpret,
-    )
+    consts = (jnp.asarray(fmask), jnp.asarray(binsb), jnp.asarray(edges))
+    if padded:
+        out = _tuning_pallas_from_padded(
+            s_power, refmax, *consts, lo8=lo8, r8=r8,
+            n_valid=int(n_frames), scale=float(sr) / n_fft,
+            bins_per_octave=bins_per_octave, n_bins=n_bins, binw=binw,
+            interpret=interpret,
+        )
+    else:
+        band = jax.lax.slice_in_dim(s_power, lo8, lo8 + r8, axis=1)
+        out = _tuning_pallas(
+            band, refmax, *consts, n_valid=int(n_frames),
+            scale=float(sr) / n_fft, bins_per_octave=bins_per_octave,
+            n_bins=n_bins, binw=binw, interpret=interpret,
+        )
     return out[:, 0, 0]
