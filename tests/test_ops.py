@@ -151,3 +151,55 @@ def test_fused_tuning_kernel_padded_input_matches_sliced():
         )
     )
     np.testing.assert_array_equal(got, want)
+
+
+def test_fused_kernel_pre_rowed_input_matches_flat():
+    """The pre-rowed (B, n_rows, hop) input path (host-side
+    ``waveform_to_hop_rows_np``) must produce bit-identical outputs to the
+    flat (B, num_samples) path, including the in-kernel edge-masked zcr."""
+    import jax.numpy as jnp
+
+    from tpuvae.ops.stft import (
+        ct_hop_rows_geometry,
+        stft_fused_features_ct_pallas,
+        waveform_to_hop_rows_np,
+    )
+
+    rng = np.random.default_rng(17)
+    nsamp = 3 * 22050 + 101          # deliberately not a hop multiple
+    y = rng.standard_normal((2, nsamp)).astype(np.float32) * 0.2
+    fe = stft_fused_features_ct_pallas(jnp.asarray(y), 2048, 512,
+                                       sr=22050, n_mels=16)
+    rows = np.stack(
+        [waveform_to_hop_rows_np(c, 2048, 512) for c in y]
+    )
+    assert rows.shape[1:] == ct_hop_rows_geometry(2048, 512, nsamp)
+    fe2 = stft_fused_features_ct_pallas(jnp.asarray(rows), 2048, 512,
+                                        sr=22050, n_mels=16,
+                                        num_samples=nsamp)
+    for name in ("power_padded", "mel_power", "centroid", "bandwidth",
+                 "rolloff", "zcr", "rms", "colmax"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(fe, name)), np.asarray(getattr(fe2, name)),
+            err_msg=name,
+        )
+
+
+def test_fused_kernel_zcr_is_edge_exact():
+    """The in-kernel zcr (valid-pair positional mask) must equal the staged
+    edge-padded ``zero_crossing_rate`` exactly — no caller patch."""
+    import jax.numpy as jnp
+
+    from tpuvae.dsp import features as feat
+    from tpuvae.ops.stft import stft_fused_features_ct_pallas
+
+    rng = np.random.default_rng(23)
+    y = rng.standard_normal((2, 2 * 22050 + 7)).astype(np.float32)
+    y[0, :5] = -0.3          # negative edge: zero-pad would add a crossing
+    y[1, -5:] = -0.3
+    fe = stft_fused_features_ct_pallas(jnp.asarray(y), 2048, 512,
+                                       sr=22050, n_mels=16)
+    np.testing.assert_array_equal(
+        np.asarray(fe.zcr),
+        np.asarray(feat.zero_crossing_rate(jnp.asarray(y), 2048, 512)),
+    )

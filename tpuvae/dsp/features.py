@@ -234,40 +234,20 @@ def _mean_std(x: jnp.ndarray, axis: int = -1):
     return jnp.mean(x, axis=axis), jnp.std(x, axis=axis)
 
 
-def _require_batched(y: jnp.ndarray, fn_name: str) -> None:
+def _require_batched(y: jnp.ndarray, fn_name: str,
+                     num_samples: int | None = None) -> None:
+    if y.ndim == 3 and num_samples is not None:
+        return   # pre-rowed (B, n_rows, hop) input (see ct_hop_rows_geometry)
     if y.ndim != 2:
         raise ValueError(
             f"{fn_name} takes batched waveforms (B, num_samples); got shape "
-            f"{y.shape} — wrap single clips with y[None, :]"
+            f"{y.shape} — wrap single clips with y[None, :] (pre-rowed "
+            f"(B, n_rows, hop) input additionally needs num_samples=)"
         )
 
 
-def _patch_zcr_edges(zcr_k, y, n_fft: int, hop: int) -> jnp.ndarray:
-    """Replace the frames of a zero-pad-computed zcr whose window overlaps
-    the center padding with exact edge-pad values (librosa semantics).
-
-    The fused kernel computes zcr from the constant-padded frames it already
-    holds; only the first ``kL = ceil((n_fft//2)/hop)`` frames and the last
-    ``<= n_fft//hop`` frames can differ.  Both patches come from the staged
-    :func:`zero_crossing_rate` run on tiny waveform slices, positioned so no
-    patched frame's window touches the slice's own synthetic padding.
-    """
-    b, t = y.shape
-    n = zcr_k.shape[1]
-    half = n_fft // 2
-    ratio = n_fft // hop
-    kl = -(-half // hop)
-    if n <= kl + ratio + 1:              # tiny clip: just recompute exactly
-        return zero_crossing_rate(y, n_fft, hop)
-    left = zero_crossing_rate(y[:, : n_fft + kl * hop], n_fft, hop)[:, :kl]
-    f0 = n - ratio                        # first frame that may touch the end
-    right = zero_crossing_rate(y[:, (f0 - kl) * hop :], n_fft, hop)[
-        :, kl : kl + (n - f0)
-    ]
-    return jnp.concatenate([left, zcr_k[:, kl:f0], right], axis=1)
-
-
-def _spectral_front_end(y: jnp.ndarray, cfg, prec, method: str):
+def _spectral_front_end(y: jnp.ndarray, cfg, prec, method: str,
+                        num_samples: int | None = None):
     """``(s_power, mel_power, centroid, bandwidth, rolloff, zcr, rms,
     tuning_aux)``.
 
@@ -289,11 +269,17 @@ def _spectral_front_end(y: jnp.ndarray, cfg, prec, method: str):
 
         fe = stft_fused_features_ct_pallas(
             y, n_fft, hop, sr=sr, n_mels=cfg.n_mels, exact=prec == HIGHEST,
+            num_samples=num_samples,
         )
         aux = {"colmax": fe.colmax_padded, "power_padded": fe.power_padded}
+        # fe.zcr already applies librosa's edge-pad semantics in-kernel
         return (fe.power, fe.mel_power, fe.centroid, fe.bandwidth,
-                fe.rolloff, _patch_zcr_edges(fe.zcr, y, n_fft, hop),
-                fe.rms, aux)
+                fe.rolloff, fe.zcr, fe.rms, aux)
+    if y.ndim == 3:
+        raise ValueError(
+            "pre-rowed (B, n_rows, hop) input is only supported by the "
+            f"ct_pallas STFT method, not {method!r}"
+        )
     s_power = prim.stft_power(y, n_fft, hop, method=method,
                               precision=stft_precision_for(prec))
     s_mag = jnp.sqrt(s_power)
@@ -308,7 +294,8 @@ def _spectral_front_end(y: jnp.ndarray, cfg, prec, method: str):
 
 
 def extract_basic_features(
-    y: jnp.ndarray, cfg: PreprocessConfig, *, stft_method: str | None = None
+    y: jnp.ndarray, cfg: PreprocessConfig, *, stft_method: str | None = None,
+    num_samples: int | None = None,
 ) -> jnp.ndarray:
     """The 370-d vector of ``extract_all_features`` (``1_preprocessing.py:105-129``).
 
@@ -316,11 +303,11 @@ def extract_basic_features(
              | (centroid, bandwidth, rolloff, zcr, rms) × (mean, std)
              | chroma mean(12) | chroma std(12)]
     """
-    _require_batched(y, "extract_basic_features")
+    _require_batched(y, "extract_basic_features", num_samples)
     sr, n_fft, hop = cfg.sample_rate, cfg.n_fft, cfg.hop_length
     prec, method = resolve_numerics(cfg, stft_method)
     s_power, mel_p, cent, bw, roll, z, r, aux = _spectral_front_end(
-        y, cfg, prec, method)
+        y, cfg, prec, method, num_samples)
     mel_db = mel_db_ref_max(mel_p)
     mfcc = mfcc_from_mel_power(mel_p, cfg.n_mfcc, precision=prec)
     chrom = chroma_batch(s_power, sr, n_fft, n_chroma=cfg.n_chroma,
@@ -341,16 +328,16 @@ def extract_basic_features(
 
 def extract_mel_image(
     y: jnp.ndarray, cfg: AdvancedPreprocessConfig, *,
-    stft_method: str | None = None
+    stft_method: str | None = None, num_samples: int | None = None,
 ) -> jnp.ndarray:
     """Hi-res fixed-size mel-dB image (``1_preprocessing_advanced.py:97-114``).
 
     dB with per-clip ``ref=max``; the time axis is truncated to
     ``fixed_time_steps`` or right-padded with the clip's min dB value.
     """
-    _require_batched(y, "extract_mel_image")
+    _require_batched(y, "extract_mel_image", num_samples)
     prec, method = resolve_numerics(cfg, stft_method)
-    mel_p = _spectral_front_end(y, cfg, prec, method)[1]
+    mel_p = _spectral_front_end(y, cfg, prec, method, num_samples)[1]
     mel_db = mel_db_ref_max(mel_p)
     t = mel_db.shape[-1]
     fts = cfg.fixed_time_steps
@@ -364,16 +351,16 @@ def extract_mel_image(
 
 def extract_flat_features(
     y: jnp.ndarray, cfg: AdvancedPreprocessConfig, *,
-    stft_method: str | None = None
+    stft_method: str | None = None, num_samples: int | None = None,
 ) -> jnp.ndarray:
     """The 290-d vector of ``extract_flattened_features``
     (``1_preprocessing_advanced.py:120-156``) — like the basic vector but
     without MFCCs."""
-    _require_batched(y, "extract_flat_features")
+    _require_batched(y, "extract_flat_features", num_samples)
     sr, n_fft, hop = cfg.sample_rate, cfg.n_fft, cfg.hop_length
     prec, method = resolve_numerics(cfg, stft_method)
     s_power, mel_p, cent, bw, roll, z, r, aux = _spectral_front_end(
-        y, cfg, prec, method)
+        y, cfg, prec, method, num_samples)
     mel_db = mel_db_ref_max(mel_p)
     chrom = chroma_batch(s_power, sr, n_fft, n_chroma=cfg.n_chroma,
                          precision=prec, **aux)
@@ -391,7 +378,7 @@ def extract_flat_features(
 
 def extract_advanced(
     y: jnp.ndarray, cfg: AdvancedPreprocessConfig, *,
-    stft_method: str | None = None
+    stft_method: str | None = None, num_samples: int | None = None,
 ):
     """Both advanced-pipeline outputs from one shared STFT.
 
@@ -399,11 +386,11 @@ def extract_advanced(
     the per-worker output pair of ``process_single_file``
     (``1_preprocessing_advanced.py:158-183``), fully batched.
     """
-    _require_batched(y, "extract_advanced")
+    _require_batched(y, "extract_advanced", num_samples)
     sr, n_fft, hop = cfg.sample_rate, cfg.n_fft, cfg.hop_length
     prec, method = resolve_numerics(cfg, stft_method)
     s_power, mel_p, cent, bw, roll, z, r, aux = _spectral_front_end(
-        y, cfg, prec, method)
+        y, cfg, prec, method, num_samples)
     mel_db = mel_db_ref_max(mel_p)
 
     # mel image
@@ -436,10 +423,13 @@ def jit_extractor(fn, cfg, **kwargs):
     """jit-wrap an extractor with the config closed over (static shapes)."""
 
     def wrapped(y):
-        if y.ndim != 2:
+        if not (y.ndim == 2
+                or (y.ndim == 3 and kwargs.get("num_samples") is not None)):
             raise ValueError(
                 f"extractors take batched waveforms (B, num_samples); got "
-                f"shape {y.shape} — wrap single clips with y[None, :]"
+                f"shape {y.shape} — wrap single clips with y[None, :] "
+                f"(pre-rowed (B, n_rows, hop) input additionally needs "
+                f"num_samples=)"
             )
         return fn(y, cfg, **kwargs)
 

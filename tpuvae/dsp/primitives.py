@@ -331,9 +331,12 @@ def dct_ii_ortho(
     n = x.shape[axis]
     m = jnp.asarray(_dct_ii_ortho_matrix(n)[:n_out])
     x_moved = jnp.moveaxis(x, axis, -1)
+    # Precision.DEFAULT is enum 0 (falsy) — `precision or X` would
+    # silently promote fast mode's DEFAULT to HIGHEST
     out = jnp.einsum("kn,...n->...k", m, x_moved,
                      preferred_element_type=jnp.float32,
-                     precision=precision or jax.lax.Precision.HIGHEST)
+                     precision=(precision if precision is not None
+                                else jax.lax.Precision.HIGHEST))
     return jnp.moveaxis(out, -1, axis)
 
 

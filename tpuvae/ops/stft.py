@@ -302,7 +302,8 @@ def _fused_stats_epilogue(pb, mel_fb, scale: float, n_bins: int,
 
 def _make_ct_kernel(ratio: int, n1r: int, span_rows: int, exact: bool,
                     fuse_scale: float | None = None,
-                    power_dtype=jnp.float32):
+                    power_dtype=jnp.float32,
+                    n_samples: int | None = None):
     fuse_n_bins = n1r * CT_N2 // 2 + 1
     cos16, sin16 = _ct_small_dft_coeffs(n1r)
     nk1 = n1r // 2 + 1
@@ -407,15 +408,35 @@ def _make_ct_kernel(ratio: int, n1r: int, span_rows: int, exact: bool,
                 pb, mel_ref[:], fuse_scale, fuse_n_bins, exact=exact
             )
             # zcr/rms from the unwindowed frames already in VMEM — same
-            # center/zero padding as tpuvae.dsp.features.rms; zcr edge
-            # frames (which librosa edge-pads) are patched by the caller
+            # center/zero padding as tpuvae.dsp.features.rms.  For zcr,
+            # librosa edge-pads, but edge copies equal the boundary sample
+            # and so never contribute a sign change: exact edge semantics =
+            # count only the sample pairs lying fully inside [0, T) — a
+            # static positional mask (no caller-side edge patch, and no XLA
+            # relayout of the waveform to compute one)
             n_fft = ratio * span_ref.shape[1]
+            hop_l = span_ref.shape[1]
             rmsv = jnp.sqrt(
                 jnp.sum(raw * raw, axis=1, keepdims=True) / n_fft
             ).T
             z = jnp.where(jnp.abs(raw) <= 1e-10, 0.0, raw)
             sign = jnp.signbit(z)
             crossings = (sign[:, 1:] != sign[:, :-1]).astype(jnp.float32)
+            if n_samples is not None:
+                # global sample of pair j in frame row r:
+                #   s = (fb*F_BLOCK + r)*hop - n_fft//2 + j
+                # valid iff 0 <= s and s + 1 <= n_samples - 1
+                row_base = (
+                    jax.lax.broadcasted_iota(
+                        jnp.int32, (F_BLOCK, 1), 0
+                    ) * hop_l
+                    + fb * (F_BLOCK * hop_l) - n_fft // 2
+                )
+                s_idx = row_base + jax.lax.broadcasted_iota(
+                    jnp.int32, (F_BLOCK, n_fft - 1), 1
+                )
+                valid = (s_idx >= 0) & (s_idx <= n_samples - 2)
+                crossings = jnp.where(valid, crossings, 0.0)
             zcrv = (jnp.sum(crossings, axis=1, keepdims=True) / n_fft).T
             mel_out[0] = mel
             stats_out[0] = jnp.concatenate(
@@ -493,17 +514,18 @@ def _ct_inner_pallas(y_rows, w, twre, twim, cre, cim, ratio: int, n1r: int,
 @functools.partial(
     jax.jit,
     static_argnames=("ratio", "n1r", "n_blocks", "exact", "interpret",
-                     "scale", "n_mels_pad"),
+                     "scale", "n_mels_pad", "n_samples"),
 )
 def _ct_inner_pallas_fused(y_rows, w, twre, twim, cre, cim, mel_fb,
                            ratio: int, n1r: int, n_blocks: int, exact: bool,
-                           interpret: bool, scale: float, n_mels_pad: int):
+                           interpret: bool, scale: float, n_mels_pad: int,
+                           n_samples: int | None = None):
     b, _, hop = y_rows.shape
     span_rows = _round_up(F_BLOCK + ratio - 1, 8)
     grid = (b, n_blocks)
     p_dtype = jnp.float32 if exact else jnp.bfloat16
     kernel = _make_ct_kernel(ratio, n1r, span_rows, exact, fuse_scale=scale,
-                             power_dtype=p_dtype)
+                             power_dtype=p_dtype, n_samples=n_samples)
     const_spec = lambda m: pl.BlockSpec(m.shape, lambda b_, f_: (0, 0),
                                         memory_space=pltpu.VMEM)
     t_pad = n_blocks * F_BLOCK
@@ -562,6 +584,37 @@ class FusedFrontEnd(NamedTuple):
     n_frames: int
 
 
+def ct_hop_rows_geometry(n_fft: int, hop_length: int,
+                         num_samples: int) -> tuple[int, int]:
+    """``(n_rows, hop)`` of the padded hop-row layout the fused CT kernel
+    reads.  Hosts can assemble batches directly in this layout (zero rows
+    for the ``n_fft//2 // hop`` leading center-pad rows and the tail) and
+    pass them pre-rowed to :func:`stft_fused_features_ct_pallas` — skipping
+    the on-device pad + tile-relayout of the waveform (~2 ms per 128-clip
+    30 s batch on v5e)."""
+    ratio = n_fft // hop_length
+    n_frames = prim.num_frames(num_samples, hop_length)
+    n_blocks = -(-n_frames // F_BLOCK)
+    span_rows = _round_up(F_BLOCK + ratio - 1, 8)
+    return (n_blocks - 1) * F_BLOCK + span_rows, hop_length
+
+
+def waveform_to_hop_rows_np(y: np.ndarray, n_fft: int,
+                            hop_length: int) -> np.ndarray:
+    """Host-side pre-rowing of one clip ``(num_samples,) → (n_rows, hop)``.
+
+    Row ``r`` holds center-padded samples ``[r*hop, (r+1)*hop)`` — i.e. the
+    clip sits at flat offset ``n_fft//2`` in a zero field — matching
+    :func:`ct_hop_rows_geometry`.  Run this on the loader threads so the
+    device never pays the pad + tile-relayout pass.
+    """
+    n_rows, hop = ct_hop_rows_geometry(n_fft, hop_length, y.shape[-1])
+    out = np.zeros(n_rows * hop, np.float32)
+    half = n_fft // 2
+    out[half : half + y.shape[-1]] = y
+    return out.reshape(n_rows, hop)
+
+
 def stft_fused_features_ct_pallas(
     y: jnp.ndarray,
     n_fft: int = 2048,
@@ -572,6 +625,7 @@ def stft_fused_features_ct_pallas(
     pad_mode: str = "constant",
     exact: bool = False,
     interpret: bool | None = None,
+    num_samples: int | None = None,
 ) -> FusedFrontEnd:
     """Cooley-Tukey STFT with the spectral-feature epilogues fused in.
 
@@ -593,11 +647,17 @@ def stft_fused_features_ct_pallas(
     in-kernel statistics (mel, centroid, bandwidth, rolloff, colmax) are
     computed from the full-precision power and stay float32.
 
-    The zcr of the few frames whose
-    window overlaps the center padding assumes zero padding; librosa
-    edge-pads there, so callers patch those frames
-    (``features._patch_zcr_edges``).  Same geometry constraints as
+    The kernel's zcr applies librosa's edge-pad semantics exactly (edge
+    copies never contribute a sign change, so a static in-kernel validity
+    mask over the true sample range reproduces them) — no caller-side edge
+    patch is needed.  Same geometry constraints as
     :func:`stft_power_ct_pallas`.
+
+    ``y`` may be the usual batched waveform ``(B, num_samples)`` or a
+    pre-rowed ``(B, n_rows, hop)`` array in the layout of
+    :func:`ct_hop_rows_geometry` (zero-filled pad rows), in which case
+    ``num_samples`` (the true clip length) is required and the on-device
+    pad + relayout is skipped entirely.
     """
     n1r = n_fft // CT_N2
     if not ct_pallas_supports(n_fft, hop_length):
@@ -608,13 +668,32 @@ def stft_fused_features_ct_pallas(
     if interpret is None:
         interpret = _interpret_default()
     y = jnp.asarray(y, jnp.float32)
-    b, t = y.shape
     ratio = n_fft // hop_length
-    n_frames = prim.num_frames(t, hop_length)
-    n_blocks = -(-n_frames // F_BLOCK)
     span_rows = _round_up(F_BLOCK + ratio - 1, 8)
-    m_rows = (n_blocks - 1) * F_BLOCK + span_rows
-    y_rows = _hop_rows_for_frames(y, n_fft, hop_length, m_rows, pad_mode)
+    if y.ndim == 3:
+        if num_samples is None:
+            raise ValueError(
+                "pre-rowed input (B, n_rows, hop) requires num_samples="
+            )
+        if pad_mode != "constant":
+            raise ValueError("pre-rowed input implies constant padding")
+        t = num_samples
+        want = ct_hop_rows_geometry(n_fft, hop_length, t)
+        if y.shape[1:] != want:
+            raise ValueError(
+                f"pre-rowed input has shape {y.shape[1:]}, expected {want} "
+                f"for num_samples={t} (see ct_hop_rows_geometry)"
+            )
+        b = y.shape[0]
+        n_frames = prim.num_frames(t, hop_length)
+        n_blocks = -(-n_frames // F_BLOCK)
+        y_rows = y
+    else:
+        b, t = y.shape
+        n_frames = prim.num_frames(t, hop_length)
+        n_blocks = -(-n_frames // F_BLOCK)
+        m_rows = (n_blocks - 1) * F_BLOCK + span_rows
+        y_rows = _hop_rows_for_frames(y, n_fft, hop_length, m_rows, pad_mode)
 
     n_bins = n_fft // 2 + 1
     nbins_pad = CT_K2 * n1r
@@ -636,6 +715,7 @@ def stft_fused_features_ct_pallas(
         y_rows, *(jnp.asarray(c) for c in consts), jnp.asarray(fb_pad),
         ratio=ratio, n1r=n1r, n_blocks=n_blocks, exact=exact,
         interpret=interpret, scale=float(sr) / n_fft, n_mels_pad=n_mels_pad,
+        n_samples=t,
     )
     return FusedFrontEnd(
         power=p[:, :n_bins, :n_frames],

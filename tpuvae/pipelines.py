@@ -127,9 +127,31 @@ def _prefetch_loaded(entries, load_one, window: int):
                 yield e, fut
 
 
+def _extraction_setup(extract_kind_fn, cfg):
+    """``(jit extract_fn, loader transform)`` for a preprocess config.
+
+    On TPU with the fused CT STFT kernel the loader threads pre-row each
+    decoded clip into the kernel's padded ``(n_rows, hop)`` layout
+    (:func:`tpuvae.ops.stft.ct_hop_rows_geometry`) so the device never pays
+    the waveform pad + tile-relayout pass (~2 ms per 128-clip batch).
+    """
+    from tpuvae.dsp import resolve_numerics
+
+    _, method = resolve_numerics(cfg)
+    if method == "ct_pallas":
+        from tpuvae.ops.stft import waveform_to_hop_rows_np
+
+        nsamp = int(round(cfg.sample_rate * cfg.duration))
+        extract = jit_extractor(extract_kind_fn, cfg, num_samples=nsamp)
+        return extract, lambda y: waveform_to_hop_rows_np(
+            np.asarray(y), cfg.n_fft, cfg.hop_length)
+    return jit_extractor(extract_kind_fn, cfg), None
+
+
 def _extract_batched(entries, extract_fn, cfg, mesh: MeshContext,
                      logger: RunLogger | None = None,
-                     manifest=None, shard_keys: tuple = ("out",)):
+                     manifest=None, shard_keys: tuple = ("out",),
+                     load_transform=None):
     """Load clips host-side in batches, extract on device, skip-and-tally
     failures (ref per-file try/except, ``1_preprocessing.py:237-256``).
 
@@ -148,9 +170,9 @@ def _extract_batched(entries, extract_fn, cfg, mesh: MeshContext,
         batch = np.stack(buf)
         pad = bs_padded - len(buf)
         if pad:
-            batch = np.pad(batch, ((0, pad), (0, 0)))
+            batch = np.pad(batch, ((0, pad),) + ((0, 0),) * (batch.ndim - 1))
         arr = jax.device_put(
-            batch, batch_sharding(mesh.mesh, 2, mesh.axis)
+            batch, batch_sharding(mesh.mesh, batch.ndim, mesh.axis)
         )
         out = extract_fn(arr)
         out_list = out if isinstance(out, tuple) else (out,)
@@ -168,7 +190,8 @@ def _extract_batched(entries, extract_fn, cfg, mesh: MeshContext,
         buf_entries.clear()
 
     def load_one(e):
-        return load_audio(e.path, cfg.sample_rate, cfg.duration)
+        y = load_audio(e.path, cfg.sample_rate, cfg.duration)
+        return load_transform(y) if load_transform is not None else y
 
     for e, fut in _prefetch_loaded(entries, load_one, window=bs + bs // 2):
         try:
@@ -224,11 +247,12 @@ def preprocess_basic(
         pending = manifest.filter_pending(entries)
         if len(pending) < len(entries):
             logger.log("resume", already_done=len(entries) - len(pending))
-    extract = jit_extractor(extract_basic_features, cfg)
+    extract, load_tf = _extraction_setup(extract_basic_features, cfg)
     with timer.stage("extract_basic", items=len(pending)):
         ok, outs, failed = _extract_batched(
             pending, extract, cfg, mesh, logger,
             manifest=manifest, shard_keys=("features",),
+            load_transform=load_tf,
         )
     if manifest is not None:
         ids, arrays = manifest.load_all()
@@ -297,11 +321,12 @@ def preprocess_advanced(
         pending = manifest.filter_pending(entries)
         if len(pending) < len(entries):
             logger.log("resume", already_done=len(entries) - len(pending))
-    extract = jit_extractor(extract_advanced, cfg)
+    extract, load_tf = _extraction_setup(extract_advanced, cfg)
     with timer.stage("extract_advanced", items=len(pending)):
         ok, outs, failed = _extract_batched(
             pending, extract, cfg, mesh, logger,
             manifest=manifest, shard_keys=("mel", "flat"),
+            load_transform=load_tf,
         )
     streaming = False
     if manifest is not None:
