@@ -300,6 +300,69 @@ def _fused_stats_epilogue(pb, mel_fb, scale: float, n_bins: int,
     return mel, cent, bw, roll, cmax
 
 
+def _snap(v: float) -> float:
+    """Snap a twiddle coefficient to its exact {0, ±1} value."""
+    for t in (0.0, 1.0, -1.0):
+        if abs(v - t) < 1e-12:
+            return t
+    return v
+
+
+def _cf_scale(x, c: float):
+    """x·c with folding: None for c=0, identity/negation for c=±1."""
+    if x is None or c == 0.0:
+        return None
+    if c == 1.0:
+        return x
+    if c == -1.0:
+        return -x
+    return x * c
+
+
+def _cf_add(a, b, sign: float = 1.0):
+    """a + sign·b where either side may be a known-zero ``None``."""
+    if b is None:
+        return a
+    if a is None:
+        return b if sign == 1.0 else -b
+    return a + b if sign == 1.0 else a - b
+
+
+def _cmul_const(z, c: float, s: float):
+    """(re, im) × (c + i·s) with constant folding; im may be ``None``."""
+    re, im = z
+    return (_cf_add(_cf_scale(re, c), _cf_scale(im, s), -1.0),
+            _cf_add(_cf_scale(re, s), _cf_scale(im, c)))
+
+
+def _fft_chunk_arrays(xs):
+    """Radix-2 DIT FFT over a list of (re, im) array pairs.
+
+    Twiddles are folded host-side constants and ``im=None`` marks a
+    known-zero imaginary part, so a 16-point real-input transform costs
+    ~90 elementwise array ops versus ~480 for per-output scalar MACs —
+    the chunk-DFT stage was the largest VPU item of the CT kernel.
+    Rounding differs from the MAC form only in summation order (same f32
+    precision class).
+    """
+    import math
+
+    n = len(xs)
+    if n == 1:
+        return list(xs)
+    ev = _fft_chunk_arrays(xs[0::2])
+    od = _fft_chunk_arrays(xs[1::2])
+    out = [None] * n
+    for k in range(n // 2):
+        c = _snap(math.cos(2.0 * math.pi * k / n))
+        s = _snap(-math.sin(2.0 * math.pi * k / n))
+        t = _cmul_const(od[k], c, s)
+        out[k] = (_cf_add(ev[k][0], t[0]), _cf_add(ev[k][1], t[1]))
+        out[k + n // 2] = (_cf_add(ev[k][0], t[0], -1.0),
+                           _cf_add(ev[k][1], t[1], -1.0))
+    return out
+
+
 def _make_ct_kernel(ratio: int, n1r: int, span_rows: int, exact: bool,
                     fuse_scale: float | None = None,
                     power_dtype=jnp.float32,
@@ -308,7 +371,8 @@ def _make_ct_kernel(ratio: int, n1r: int, span_rows: int, exact: bool,
     cos16, sin16 = _ct_small_dft_coeffs(n1r)
     nk1 = n1r // 2 + 1
 
-    def kernel(y_hbm, w_ref, twre_ref, twim_ref, cre_ref, cim_ref, *refs):
+    def kernel(y_hbm, w_ref, twre_ref, twim_ref, cre_ref, cim_ref,
+               csum_ref, *refs):
         if fuse_scale is not None:
             mel_ref, out_ref, mel_out, stats_out, span_ref, sem = refs
         else:
@@ -326,21 +390,28 @@ def _make_ct_kernel(ratio: int, n1r: int, span_rows: int, exact: bool,
             frames[:, n1 * CT_N2 : (n1 + 1) * CT_N2] for n1 in range(n1r)
         ]
 
-        # chunk DFT: A[n2, k1] planes via scalar MACs (exact fp32)
-        def plane(coeffs):
-            acc = None
-            for n1 in range(n1r):
-                c = float(coeffs[n1])
-                if abs(c) < 1e-12:
-                    continue
-                term = chunks[n1] if c == 1.0 else (
-                    -chunks[n1] if c == -1.0 else chunks[n1] * c
-                )
-                acc = term if acc is None else acc + term
-            return acc
+        # chunk DFT: A[n2, k1] planes, fp32.  Power-of-two n1r uses the
+        # folded radix-2 FFT (~5x fewer VPU ops than per-output MACs);
+        # other sizes keep the MAC form.
+        if n1r & (n1r - 1) == 0:
+            outs = _fft_chunk_arrays([(ch, None) for ch in chunks])
+            are = [outs[k1][0] for k1 in range(nk1)]
+            aim = [outs[k1][1] for k1 in range(nk1)]
+        else:
+            def plane(coeffs):
+                acc = None
+                for n1 in range(n1r):
+                    c = float(coeffs[n1])
+                    if abs(c) < 1e-12:
+                        continue
+                    term = chunks[n1] if c == 1.0 else (
+                        -chunks[n1] if c == -1.0 else chunks[n1] * c
+                    )
+                    acc = term if acc is None else acc + term
+                return acc
 
-        are = [plane(cos16[:, k1]) for k1 in range(nk1)]
-        aim = [plane(sin16[:, k1]) for k1 in range(nk1)]
+            are = [plane(cos16[:, k1]) for k1 in range(nk1)]
+            aim = [plane(sin16[:, k1]) for k1 in range(nk1)]
 
         # twiddle by W_N^{n2 k1} and stack all n1r planes (conjugate
         # mirrors fill k1 > n1r/2) into (n1r*F_BLOCK, 128) re/im matrices
@@ -362,7 +433,15 @@ def _make_ct_kernel(ratio: int, n1r: int, span_rows: int, exact: bool,
         tre = jnp.concatenate(tre_parts, axis=0)
         tim = jnp.concatenate(tim_parts, axis=0)
 
-        # outer 128-point DFT on the MXU: X = T @ (Cre + i Cim)
+        # outer 128-point DFT on the MXU: X = T @ (Cre + i Cim).  Fast mode
+        # uses the Gauss 3-multiplication complex product (one matmul in
+        # four saved):
+        #   m1 = tre·cre, m2 = tim·cim, m3 = (tre+tim)·(cre+cim)
+        #   xre = m1 − m2,  xim = m3 − m1 − m2
+        # whose cancellation noise (~2^-19 of the loudest bin → ~-114 dB
+        # power floor) sits inside the fast accuracy contract; exact mode
+        # keeps the plain 4-dot form, where quiet-bin phases stay at f32
+        # accuracy.
         if exact:
             dot = functools.partial(
                 jax.lax.dot_general,
@@ -376,14 +455,17 @@ def _make_ct_kernel(ratio: int, n1r: int, span_rows: int, exact: bool,
             dot = functools.partial(jnp.dot,
                                     preferred_element_type=jnp.float32)
 
-            def dot3(t, basis_ref):
+            def dot3(t, basis):
                 hi = t.astype(jnp.bfloat16)
                 lo = (t - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-                bhi, blo = basis_ref[:CT_N2, :], basis_ref[CT_N2:, :]
+                bhi, blo = basis[:CT_N2, :], basis[CT_N2:, :]
                 return dot(hi, bhi) + dot(hi, blo) + dot(lo, bhi)
 
-            xre = dot3(tre, cre_ref) - dot3(tim, cim_ref)
-            xim = dot3(tre, cim_ref) + dot3(tim, cre_ref)
+            m1 = dot3(tre, cre_ref[:])
+            m2 = dot3(tim, cim_ref[:])
+            m3 = dot3(tre + tim, csum_ref[:])
+            xre = m1 - m2
+            xim = m3 - m1 - m2
 
         power = xre * xre + xim * xim                  # (n1r*F, CT_K2)
         # emit directly in bin order: rows k2*n1r + k1 = bin k1 + n1r*k2
@@ -449,7 +531,12 @@ def _make_ct_kernel(ratio: int, n1r: int, span_rows: int, exact: bool,
 
 @functools.lru_cache(maxsize=4)
 def _ct_pallas_consts(n_fft: int, exact: bool):
-    """(window_row, twre, twim, cre, cim) host constants for the kernel."""
+    """(window_row, twre, twim, cre, cim, csum) host constants.
+
+    ``csum = cre + cim`` is precomputed (f64) for the Gauss 3-multiplication
+    complex product — in fast mode an in-kernel bf16 sum of the pre-split
+    halves would break the exact hi/lo decomposition.
+    """
     n1r = n_fft // CT_N2
     w = prim.hann_window(n_fft).astype(np.float32)[None, :]
     n2 = np.arange(CT_N2, dtype=np.float64)
@@ -462,8 +549,10 @@ def _ct_pallas_consts(n_fft: int, exact: bool):
     cim = -np.sin(ang_c)
     cre[:, 65:] = 0.0
     cim[:, 65:] = 0.0
+    csum = cre + cim
     if exact:
-        return w, twre, twim, cre.astype(np.float32), cim.astype(np.float32)
+        return (w, twre, twim, cre.astype(np.float32),
+                cim.astype(np.float32), csum.astype(np.float32))
 
     def split(m):  # bf16 hi/lo halves stacked on the sublane axis
         m32 = m.astype(np.float32)
@@ -471,15 +560,15 @@ def _ct_pallas_consts(n_fft: int, exact: bool):
         mlo = np.asarray((m32 - mhi.astype(np.float32)).astype(jnp.bfloat16))
         return np.concatenate([mhi, mlo], axis=0)
 
-    return w, twre, twim, split(cre), split(cim)
+    return w, twre, twim, split(cre), split(cim), split(csum)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("ratio", "n1r", "n_blocks", "exact", "interpret"),
 )
-def _ct_inner_pallas(y_rows, w, twre, twim, cre, cim, ratio: int, n1r: int,
-                     n_blocks: int, exact: bool, interpret: bool):
+def _ct_inner_pallas(y_rows, w, twre, twim, cre, cim, csum, ratio: int,
+                     n1r: int, n_blocks: int, exact: bool, interpret: bool):
     b, _, hop = y_rows.shape
     n_fft = hop * ratio
     span_rows = _round_up(F_BLOCK + ratio - 1, 8)
@@ -493,7 +582,7 @@ def _ct_inner_pallas(y_rows, w, twre, twim, cre, cim, ratio: int, n1r: int,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),   # waveform rows in HBM
             const_spec(w), const_spec(twre), const_spec(twim),
-            const_spec(cre), const_spec(cim),
+            const_spec(cre), const_spec(cim), const_spec(csum),
         ],
         out_specs=pl.BlockSpec(
             (1, CT_K2 * n1r, F_BLOCK), lambda b_, f_: (b_, 0, f_),
@@ -507,7 +596,7 @@ def _ct_inner_pallas(y_rows, w, twre, twim, cre, cim, ratio: int, n1r: int,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(y_rows, w, twre, twim, cre, cim)
+    )(y_rows, w, twre, twim, cre, cim, csum)
     return out
 
 
@@ -516,7 +605,7 @@ def _ct_inner_pallas(y_rows, w, twre, twim, cre, cim, ratio: int, n1r: int,
     static_argnames=("ratio", "n1r", "n_blocks", "exact", "interpret",
                      "scale", "n_mels_pad", "n_samples"),
 )
-def _ct_inner_pallas_fused(y_rows, w, twre, twim, cre, cim, mel_fb,
+def _ct_inner_pallas_fused(y_rows, w, twre, twim, cre, cim, csum, mel_fb,
                            ratio: int, n1r: int, n_blocks: int, exact: bool,
                            interpret: bool, scale: float, n_mels_pad: int,
                            n_samples: int | None = None):
@@ -535,7 +624,8 @@ def _ct_inner_pallas_fused(y_rows, w, twre, twim, cre, cim, mel_fb,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),   # waveform rows in HBM
             const_spec(w), const_spec(twre), const_spec(twim),
-            const_spec(cre), const_spec(cim), const_spec(mel_fb),
+            const_spec(cre), const_spec(cim), const_spec(csum),
+            const_spec(mel_fb),
         ],
         out_specs=(
             pl.BlockSpec((1, CT_K2 * n1r, F_BLOCK), lambda b_, f_: (b_, 0, f_),
@@ -555,7 +645,7 @@ def _ct_inner_pallas_fused(y_rows, w, twre, twim, cre, cim, mel_fb,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(y_rows, w, twre, twim, cre, cim, mel_fb)
+    )(y_rows, w, twre, twim, cre, cim, csum, mel_fb)
     return out
 
 

@@ -123,6 +123,10 @@ def _tuning_body(s, refmax, fmask, binsb, edges, n_frames: int, n_valid: int,
     bucket = jnp.clip(
         jnp.floor((residual + 0.5) / binw), 0.0, float(n_bins - 1)
     )
+    # flat histogram: n_bins compare+reduce passes over the (R, T) band.
+    # (A coarse-to-fine superbucket argmax behind lax.cond was measured
+    # IDENTICAL — Mosaic lowers the cond to predicated execution of both
+    # branches here, so skipped fine passes still cost their cycles.)
     bucket_i = jnp.where(sel, bucket, float(n_bins)).astype(jnp.int32)
     cnts = jnp.concatenate(
         [
