@@ -141,7 +141,8 @@ def _extraction_setup(extract_kind_fn, cfg):
     if method == "ct_pallas":
         from tpuvae.ops.stft import waveform_to_hop_rows_np
 
-        nsamp = int(round(cfg.sample_rate * cfg.duration))
+        # int() truncation, matching load_audio's clip-length convention
+        nsamp = int(cfg.sample_rate * cfg.duration)
         extract = jit_extractor(extract_kind_fn, cfg, num_samples=nsamp)
         return extract, lambda y: waveform_to_hop_rows_np(
             np.asarray(y), cfg.n_fft, cfg.hop_length)
