@@ -201,6 +201,9 @@ def _dispatch(argv) -> int:
         from tpuvae.parity import run_parity
 
         res = run_parity(
+            data1=extras.get("data1_dir", "processed_data1"),
+            data2=extras.get("data2_dir", "processed_data2"),
+            work_dir=extras.get("out_dir", "parity_runs"),
             tol=float(extras.get("tol", 0.01)),
             fast=extras.get("fast", "1") != "0",
         )
