@@ -83,13 +83,20 @@ def main():
 
         nsamp = clips.shape[1]
         fn = jit_extractor(extract_basic_features, cfg, num_samples=nsamp)
-        xs = [
-            jnp.asarray(np.stack([
-                waveform_to_hop_rows_np(c, cfg.n_fft, cfg.hop_length)
-                for c in np.roll(clips, i, axis=0)
-            ]))
+        t0 = time.time()
+        rowed = [
+            [waveform_to_hop_rows_np(c, cfg.n_fft, cfg.hop_length)
+             for c in np.roll(clips, i, axis=0)]
             for i in range(3)
         ]
+        # the real pipeline pre-rows per clip on its loader threads,
+        # overlapped with device compute; report the single-thread host
+        # cost so the overlap budget is visible next to the device number
+        log(f"host pre-rowing: {(time.time() - t0) / 3 * 1000:.1f} ms per "
+            f"{batch}-clip batch single-thread (incl. one np.roll batch "
+            f"copy; pipelines run the per-clip part on loader threads, "
+            f"overlapped with device compute)")
+        xs = [jnp.asarray(np.stack(r)) for r in rowed]
     else:
         fn = jit_extractor(extract_basic_features, cfg)
         xs = [jnp.asarray(np.roll(clips, i, axis=0)) for i in range(3)]

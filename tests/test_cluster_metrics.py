@@ -243,18 +243,15 @@ def test_scale_10k_dbscan_and_silhouette():
     assert 0.8 < s <= 1.0
 
 
-def test_dbscan_silhouette_scale_10k():
-    """Scale-hardening check (VERDICT r1 #8): DBSCAN's pointer-jumping
-    label propagation and the silhouette path handle a 10k-point set in
-    memory, with chain-shaped clusters that would degenerate an
-    O(graph-diameter) propagation.  Labels must match sklearn up to the
-    documented border-point tie rule (core/noise sets are exact)."""
+def test_dbscan_chain_clusters_10k():
+    """Chain-shaped clusters at 10k points: the worst case for an
+    O(graph-diameter) label propagation, trivial for pointer jumping.
+    Complements the blob-shaped scale test above; partitions must match
+    sklearn exactly (core/noise sets are exact by construction)."""
     import sklearn.cluster as skc
 
     rng = np.random.default_rng(42)
     n = 10_240
-    # two long thin chains plus background noise — worst case for
-    # diameter-bound propagation, trivial for pointer jumping
     t = np.linspace(0.0, 60.0, n // 3)
     chain1 = np.stack([t, np.sin(t)], axis=1)
     chain2 = np.stack([t, 8.0 + np.cos(t)], axis=1)
@@ -264,15 +261,6 @@ def test_dbscan_silhouette_scale_10k():
     got = np.asarray(dbscan(jnp.asarray(x), eps=eps,
                             min_samples=min_samples))
     ref = skc.DBSCAN(eps=eps, min_samples=min_samples).fit(x)
-    # noise sets agree exactly
     np.testing.assert_array_equal(got == -1, ref.labels_ == -1)
-    # cluster partitions agree (labels are permutation-invariant)
-    from sklearn.metrics import adjusted_rand_score
-
     m = got != -1
-    assert adjusted_rand_score(ref.labels_[m], got[m]) == 1.0
-    # silhouette over the 10k matrix fits and evaluates finitely
-    lab, k = compact_labels(got)
-    d = self_distances(jnp.asarray(x))
-    s = float(silhouette_from_distances(d, jnp.asarray(lab), k))
-    assert np.isfinite(s)
+    assert skm.adjusted_rand_score(ref.labels_[m], got[m]) == 1.0

@@ -372,7 +372,9 @@ def _make_ct_kernel(ratio: int, n1r: int, span_rows: int, exact: bool,
     nk1 = n1r // 2 + 1
 
     def kernel(y_hbm, w_ref, twre_ref, twim_ref, cre_ref, cim_ref,
-               csum_ref, *refs):
+               *refs):
+        if not exact:
+            csum_ref, *refs = refs   # Gauss sum basis: fast mode only
         if fuse_scale is not None:
             mel_ref, out_ref, mel_out, stats_out, span_ref, sem = refs
         else:
@@ -549,10 +551,10 @@ def _ct_pallas_consts(n_fft: int, exact: bool):
     cim = -np.sin(ang_c)
     cre[:, 65:] = 0.0
     cim[:, 65:] = 0.0
-    csum = cre + cim
-    if exact:
+    if exact:   # 4-dot form: no Gauss sum basis needed
         return (w, twre, twim, cre.astype(np.float32),
-                cim.astype(np.float32), csum.astype(np.float32))
+                cim.astype(np.float32))
+    csum = cre + cim
 
     def split(m):  # bf16 hi/lo halves stacked on the sublane axis
         m32 = m.astype(np.float32)
@@ -567,7 +569,7 @@ def _ct_pallas_consts(n_fft: int, exact: bool):
     jax.jit,
     static_argnames=("ratio", "n1r", "n_blocks", "exact", "interpret"),
 )
-def _ct_inner_pallas(y_rows, w, twre, twim, cre, cim, csum, ratio: int,
+def _ct_inner_pallas(y_rows, *consts, ratio: int,
                      n1r: int, n_blocks: int, exact: bool, interpret: bool):
     b, _, hop = y_rows.shape
     n_fft = hop * ratio
@@ -579,11 +581,8 @@ def _ct_inner_pallas(y_rows, w, twre, twim, cre, cim, csum, ratio: int,
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # waveform rows in HBM
-            const_spec(w), const_spec(twre), const_spec(twim),
-            const_spec(cre), const_spec(cim), const_spec(csum),
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)]   # waveform rows
+                 + [const_spec(c) for c in consts],
         out_specs=pl.BlockSpec(
             (1, CT_K2 * n1r, F_BLOCK), lambda b_, f_: (b_, 0, f_),
             memory_space=pltpu.VMEM,
@@ -596,7 +595,7 @@ def _ct_inner_pallas(y_rows, w, twre, twim, cre, cim, csum, ratio: int,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(y_rows, w, twre, twim, cre, cim, csum)
+    )(y_rows, *consts)
     return out
 
 
@@ -605,7 +604,7 @@ def _ct_inner_pallas(y_rows, w, twre, twim, cre, cim, csum, ratio: int,
     static_argnames=("ratio", "n1r", "n_blocks", "exact", "interpret",
                      "scale", "n_mels_pad", "n_samples"),
 )
-def _ct_inner_pallas_fused(y_rows, w, twre, twim, cre, cim, csum, mel_fb,
+def _ct_inner_pallas_fused(y_rows, *consts_and_fb,
                            ratio: int, n1r: int, n_blocks: int, exact: bool,
                            interpret: bool, scale: float, n_mels_pad: int,
                            n_samples: int | None = None):
@@ -621,12 +620,8 @@ def _ct_inner_pallas_fused(y_rows, w, twre, twim, cre, cim, csum, mel_fb,
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # waveform rows in HBM
-            const_spec(w), const_spec(twre), const_spec(twim),
-            const_spec(cre), const_spec(cim), const_spec(csum),
-            const_spec(mel_fb),
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)]   # waveform rows
+                 + [const_spec(c) for c in consts_and_fb],
         out_specs=(
             pl.BlockSpec((1, CT_K2 * n1r, F_BLOCK), lambda b_, f_: (b_, 0, f_),
                          memory_space=pltpu.VMEM),
@@ -645,7 +640,7 @@ def _ct_inner_pallas_fused(y_rows, w, twre, twim, cre, cim, csum, mel_fb,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(y_rows, w, twre, twim, cre, cim, csum, mel_fb)
+    )(y_rows, *consts_and_fb)
     return out
 
 
@@ -699,9 +694,11 @@ def waveform_to_hop_rows_np(y: np.ndarray, n_fft: int,
     device never pays the pad + tile-relayout pass.
     """
     n_rows, hop = ct_hop_rows_geometry(n_fft, hop_length, y.shape[-1])
-    out = np.zeros(n_rows * hop, np.float32)
+    out = np.empty(n_rows * hop, np.float32)
     half = n_fft // 2
+    out[:half] = 0.0
     out[half : half + y.shape[-1]] = y
+    out[half + y.shape[-1] :] = 0.0     # only the pad regions get memset
     return out.reshape(n_rows, hop)
 
 
@@ -813,7 +810,7 @@ def stft_fused_features_ct_pallas(
         centroid=stats[:, 0, :n_frames],
         bandwidth=stats[:, 1, :n_frames],
         rolloff=stats[:, 2, :n_frames],
-        zcr=stats[:, 3, :n_frames],  # zero-pad edges; caller patches
+        zcr=stats[:, 3, :n_frames],  # edge-exact (in-kernel valid-pair mask)
         rms=stats[:, 4, :n_frames],
         colmax=stats[:, 5, :n_frames],
         power_padded=p,
