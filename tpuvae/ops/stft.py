@@ -381,11 +381,33 @@ def _make_ct_kernel(ratio: int, n1r: int, span_rows: int, exact: bool,
             out_ref, span_ref, sem = refs
         b = pl.program_id(0)
         fb = pl.program_id(1)
-        copy = pltpu.make_async_copy(
-            y_hbm.at[b, pl.ds(fb * F_BLOCK, span_rows)], span_ref, sem
-        )
-        copy.start()
-        copy.wait()
+        nb = pl.num_programs(1)
+        # double-buffered span prefetch: the synchronous start();wait()
+        # form stalled every one of the B·n_blocks grid steps on DMA
+        # latency; here step k waits on the copy issued at step k-1 and
+        # issues step k+1's into the other slot
+        step = b * nb + fb
+        slot = jax.lax.rem(step, 2)
+
+        def span_copy(bq, fq, sl):
+            return pltpu.make_async_copy(
+                y_hbm.at[bq, pl.ds(fq * F_BLOCK, span_rows)],
+                span_ref.at[sl], sem.at[sl],
+            )
+
+        @pl.when(step == 0)
+        def _():
+            span_copy(0, 0, 0).start()
+
+        nxt = step + 1
+
+        @pl.when(nxt < pl.num_programs(0) * nb)
+        def _():
+            span_copy(nxt // nb, jax.lax.rem(nxt, nb),
+                      jax.lax.rem(nxt, 2)).start()
+
+        span_copy(b, fb, slot).wait()
+        span_ref = span_ref.at[slot]
         raw = _frames_from_span(span_ref[:], span_rows, ratio)
         frames = raw * w_ref[:]
         chunks = [
@@ -591,8 +613,8 @@ def _ct_inner_pallas(y_rows, *consts, ratio: int,
             (b, CT_K2 * n1r, n_blocks * F_BLOCK), jnp.float32
         ),
         scratch_shapes=[
-            pltpu.VMEM((span_rows, hop), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, span_rows, hop), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(y_rows, *consts)
@@ -636,8 +658,8 @@ def _ct_inner_pallas_fused(y_rows, *consts_and_fb,
             jax.ShapeDtypeStruct((b, 8, t_pad), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((span_rows, hop), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, span_rows, hop), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(y_rows, *consts_and_fb)
