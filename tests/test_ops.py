@@ -203,3 +203,30 @@ def test_fused_kernel_zcr_is_edge_exact():
         np.asarray(fe.zcr),
         np.asarray(feat.zero_crossing_rate(jnp.asarray(y), 2048, 512)),
     )
+
+
+def test_ct_pallas_alternate_geometry_1024():
+    """n_fft=1024 (n1r=8) exercises the radix-2 chunk FFT at a different
+    power-of-two size than the reference geometry's 16, plus the fused
+    front end's geometry plumbing."""
+    import jax.numpy as jnp
+
+    import tpuvae.dsp.primitives as prim
+    from tpuvae.ops.stft import stft_fused_features_ct_pallas, stft_power_ct_pallas
+
+    rng = np.random.default_rng(31)
+    y = rng.standard_normal((2, 22050)).astype(np.float32) * 0.3
+    a = np.asarray(prim.stft_power(jnp.asarray(y), 1024, 256, method="fft"))
+    b = np.asarray(stft_power_ct_pallas(jnp.asarray(y), 1024, 256,
+                                        exact=True))
+    np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-5)
+    fe = stft_fused_features_ct_pallas(jnp.asarray(y), 1024, 256,
+                                       sr=22050, n_mels=24, exact=True)
+    np.testing.assert_allclose(np.asarray(fe.power), a, rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(fe.zcr),
+        np.asarray(__import__("tpuvae.dsp.features",
+                              fromlist=["zero_crossing_rate"]
+                              ).zero_crossing_rate(jnp.asarray(y), 1024, 256)),
+    )
