@@ -371,8 +371,7 @@ def _make_ct_kernel(ratio: int, n1r: int, span_rows: int, exact: bool,
     cos16, sin16 = _ct_small_dft_coeffs(n1r)
     nk1 = n1r // 2 + 1
 
-    def kernel(y_hbm, w_ref, twre_ref, twim_ref, cre_ref, cim_ref,
-               *refs):
+    def kernel(y_hbm, w_ref, cre_ref, cim_ref, *refs):
         if not exact:
             csum_ref, *refs = refs   # Gauss sum basis: fast mode only
         if fuse_scale is not None:
@@ -437,69 +436,65 @@ def _make_ct_kernel(ratio: int, n1r: int, span_rows: int, exact: bool,
             are = [plane(cos16[:, k1]) for k1 in range(nk1)]
             aim = [plane(sin16[:, k1]) for k1 in range(nk1)]
 
-        # twiddle by W_N^{n2 k1} and stack all n1r planes (conjugate
-        # mirrors fill k1 > n1r/2) into (n1r*F_BLOCK, 128) re/im matrices
-        tre_parts, tim_parts = [], []
-        for k1 in range(n1r):
-            if k1 < nk1:
-                re_p, im_p = are[k1], aim[k1]
-            else:  # A[., k1] = conj(A[., n1r-k1])
-                re_p, im_p = are[n1r - k1], aim[n1r - k1]
-                im_p = None if im_p is None else -im_p
-            twre = twre_ref[k1 : k1 + 1, :]
-            twim = twim_ref[k1 : k1 + 1, :]
-            if im_p is None:
-                tre_parts.append(re_p * twre)
-                tim_parts.append(re_p * twim)
-            else:
-                tre_parts.append(re_p * twre - im_p * twim)
-                tim_parts.append(re_p * twim + im_p * twre)
-        tre = jnp.concatenate(tre_parts, axis=0)
-        tim = jnp.concatenate(tim_parts, axis=0)
-
-        # outer 128-point DFT on the MXU: X = T @ (Cre + i Cim).  Fast mode
-        # uses the Gauss 3-multiplication complex product (one matmul in
-        # four saved):
-        #   m1 = tre·cre, m2 = tim·cim, m3 = (tre+tim)·(cre+cim)
-        #   xre = m1 − m2,  xim = m3 − m1 − m2
-        # whose cancellation noise (~2^-19 of the loudest bin → ~-114 dB
-        # power floor) sits inside the fast accuracy contract; exact mode
-        # keeps the plain 4-dot form, where quiet-bin phases stay at f32
-        # accuracy.
+        # Outer 128-point DFT per k1-plane with TWIDDLE-FOLDED bases:
+        #   X[k1-plane][f, k2] = A_k1[f, :] @ C_k1,  C_k1[n2, k2] =
+        #   W_N^{n2 k1} · W_128^{n2 k2}  (host f64 constants — see
+        #   _ct_pallas_consts), and mirror planes (k1 ≥ n1r/2+1, where
+        #   A_k1 = conj(A_{n1r-k1})) use conj(C_k1) with the UN-conjugated
+        #   plane data, since only |X|² is needed and |conj(z)| = |z|.
+        #   This removes the per-plane twiddle multiplies and the two
+        #   (n1r·F_BLOCK, 128) stacking concats of the earlier stacked-dot
+        #   form — measured 16.1 → 11.3 ms standalone on v5e, equal
+        #   accuracy vs the exact reference.  Fast mode runs each plane's
+        #   dots via the Gauss 3-multiplication complex product
+        #   (m1 = re·cre, m2 = im·cim, m3 = (re+im)·(cre+cim); one matmul
+        #   in four saved; cancellation floor ~-114 dB, inside the fast
+        #   contract); exact mode keeps 4-dot fp32 HIGHEST per plane.
         if exact:
-            dot = functools.partial(
+            dotx = functools.partial(
                 jax.lax.dot_general,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )
-            xre = dot(tre, cre_ref[:]) - dot(tim, cim_ref[:])
-            xim = dot(tre, cim_ref[:]) + dot(tim, cre_ref[:])
+            rows_per = CT_N2
         else:
             dot = functools.partial(jnp.dot,
                                     preferred_element_type=jnp.float32)
 
-            def dot3(t, basis):
+            def dotx(t, basis):
                 hi = t.astype(jnp.bfloat16)
                 lo = (t - hi.astype(jnp.float32)).astype(jnp.bfloat16)
                 bhi, blo = basis[:CT_N2, :], basis[CT_N2:, :]
                 return dot(hi, bhi) + dot(hi, blo) + dot(lo, bhi)
 
-            m1 = dot3(tre, cre_ref[:])
-            m2 = dot3(tim, cim_ref[:])
-            m3 = dot3(tre + tim, csum_ref[:])
-            xre = m1 - m2
-            xim = m3 - m1 - m2
+            rows_per = 2 * CT_N2   # bf16 hi/lo halves stacked per plane
 
-        power = xre * xre + xim * xim                  # (n1r*F, CT_K2)
+        parts = []
+        for k1 in range(n1r):
+            m = k1 if k1 < nk1 else n1r - k1
+            re_p, im_p = are[m], aim[m]
+            cA = cre_ref[k1 * rows_per : (k1 + 1) * rows_per, :]
+            cB = cim_ref[k1 * rows_per : (k1 + 1) * rows_per, :]
+            if im_p is None:
+                xre = dotx(re_p, cA)
+                xim = dotx(re_p, cB)
+            elif exact:
+                xre = dotx(re_p, cA) - dotx(im_p, cB)
+                xim = dotx(re_p, cB) + dotx(im_p, cA)
+            else:
+                cS = csum_ref[k1 * rows_per : (k1 + 1) * rows_per, :]
+                m1 = dotx(re_p, cA)
+                m2 = dotx(im_p, cB)
+                m3 = dotx(re_p + im_p, cS)
+                xre = m1 - m2
+                xim = m3 - m1 - m2
+            p_plane = xre * xre + xim * xim        # (F_BLOCK, CT_K2)
+            parts.append(p_plane.T)                # (CT_K2, F_BLOCK)
         # emit directly in bin order: rows k2*n1r + k1 = bin k1 + n1r*k2
         # (pad bins k2 >= 65 land contiguously past row 65*n1r and are
         # sliced off by the caller) — saves two XLA transposes over the
         # full spectrogram per batch
-        pt = power.T                                   # (CT_K2, n1r*F)
-        parts = [
-            pt[:, k1 * F_BLOCK : (k1 + 1) * F_BLOCK] for k1 in range(n1r)
-        ]
         pb = jnp.stack(parts, axis=1).reshape(CT_K2 * n1r, F_BLOCK)
         # fast mode stores the spectrogram bf16: its only consumers are the
         # chroma projection and tuning estimation (atol-dominated features),
@@ -555,28 +550,23 @@ def _make_ct_kernel(ratio: int, n1r: int, span_rows: int, exact: bool,
 
 @functools.lru_cache(maxsize=4)
 def _ct_pallas_consts(n_fft: int, exact: bool):
-    """(window_row, twre, twim, cre, cim, csum) host constants.
+    """(window_row, cre, cim[, csum]) host constants, twiddle-folded.
 
-    ``csum = cre + cim`` is precomputed (f64) for the Gauss 3-multiplication
-    complex product — in fast mode an in-kernel bf16 sum of the pre-split
-    halves would break the exact hi/lo decomposition.
+    The outer-DFT bases are per-k1-plane with the twiddle folded in
+    (f64 products, more accurate than an in-kernel f32 twiddle stage):
+    ``C_k1[n2, k2] = W_N^{n2 k1} · W_128^{n2 k2}``, stacked along the
+    sublane axis per plane.  Mirror planes (k1 ≥ n1r/2+1) store
+    ``conj(C_k1)`` so the kernel feeds them the un-conjugated plane data
+    and still gets the right ``|X|²``.  ``csum = cre + cim`` (fast mode
+    only) serves the Gauss 3-multiplication complex product — an
+    in-kernel bf16 sum of pre-split halves would break the exact hi/lo
+    decomposition.
     """
     n1r = n_fft // CT_N2
+    nk1 = n1r // 2 + 1
     w = prim.hann_window(n_fft).astype(np.float32)[None, :]
-    n2 = np.arange(CT_N2, dtype=np.float64)
-    k1 = np.arange(n1r, dtype=np.float64)
-    ang_tw = 2.0 * np.pi * k1[:, None] * n2[None, :] / n_fft
-    twre = np.cos(ang_tw).astype(np.float32)
-    twim = (-np.sin(ang_tw)).astype(np.float32)
-    ang_c = 2.0 * np.pi * n2[:, None] * np.arange(CT_K2)[None, :] / CT_N2
-    cre = np.cos(ang_c)
-    cim = -np.sin(ang_c)
-    cre[:, 65:] = 0.0
-    cim[:, 65:] = 0.0
-    if exact:   # 4-dot form: no Gauss sum basis needed
-        return (w, twre, twim, cre.astype(np.float32),
-                cim.astype(np.float32))
-    csum = cre + cim
+    n2 = np.arange(CT_N2, dtype=np.float64)[:, None]
+    k2 = np.arange(CT_K2, dtype=np.float64)[None, :]
 
     def split(m):  # bf16 hi/lo halves stacked on the sublane axis
         m32 = m.astype(np.float32)
@@ -584,7 +574,25 @@ def _ct_pallas_consts(n_fft: int, exact: bool):
         mlo = np.asarray((m32 - mhi.astype(np.float32)).astype(jnp.bfloat16))
         return np.concatenate([mhi, mlo], axis=0)
 
-    return w, twre, twim, split(cre), split(cim), split(csum)
+    cres, cims, csums = [], [], []
+    for k1 in range(n1r):
+        ang = 2.0 * np.pi * (n2 * k1 / n_fft + n2 * k2 / CT_N2)
+        cre = np.cos(ang)
+        cim = np.sin(ang) if k1 >= nk1 else -np.sin(ang)   # conj for mirrors
+        cre[:, 65:] = 0.0
+        cim[:, 65:] = 0.0
+        if exact:
+            cres.append(cre.astype(np.float32))
+            cims.append(cim.astype(np.float32))
+        else:
+            cres.append(split(cre))
+            cims.append(split(cim))
+            csums.append(split(cre + cim))
+    cre_all = np.concatenate(cres, axis=0)
+    cim_all = np.concatenate(cims, axis=0)
+    if exact:   # 4-dot form: no Gauss sum basis needed
+        return w, cre_all, cim_all
+    return w, cre_all, cim_all, np.concatenate(csums, axis=0)
 
 
 @functools.partial(
