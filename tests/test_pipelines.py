@@ -176,9 +176,9 @@ def test_extract_skip_and_tally_with_corrupt_files(tmp_path):
 def test_preprocess_pre_rowed_ct_path_matches_staged(tmp_path):
     """With stft_method='ct_pallas' the pipeline engages the pre-rowed
     loader fast path (host hop-row layout + num_samples extractor); its
-    features must match the staged-fft run within kernel tolerance.
-    Covers pipelines._extraction_setup end-to-end on the interpret
-    backend."""
+    features must match the staged dense-DFT run within kernel tolerance
+    (the `dft` matmul path runs on every backend; `fft` is unimplemented
+    on this TPU).  Covers pipelines._extraction_setup end-to-end."""
     from tpuvae.io import generate_dataset
     from tpuvae.pipelines import preprocess_basic
 
@@ -186,18 +186,18 @@ def test_preprocess_pre_rowed_ct_path_matches_staged(tmp_path):
     generate_dataset(root, clips_per_genre_lang=1, duration=1.0,
                      include_jazz=False, seed=9)
     outs = {}
-    for method in ("fft", "ct_pallas"):
+    for method in ("dft", "ct_pallas"):
         cfg = PreprocessConfig(
             duration=1.0, dataset_root=str(root),
             metadata_csv=str(root / "updated_metadata.csv"),
             output_dir=str(tmp_path / f"out_{method}"), extract_batch=4,
-            stft_method=method,
+            stft_method=method, precision_mode="exact",
         )
         res = preprocess_basic(cfg, logger=RunLogger(echo=False))
         assert res["failed"] == []
         outs[method] = np.load(
             tmp_path / f"out_{method}" / "features_raw.npy"
         )
-    a, b = outs["fft"], outs["ct_pallas"]
+    a, b = outs["dft"], outs["ct_pallas"]
     assert a.shape == b.shape
     np.testing.assert_allclose(b, a, rtol=3e-3, atol=3e-3)
