@@ -123,20 +123,58 @@ def _tuning_body(s, refmax, fmask, binsb, edges, n_frames: int, n_valid: int,
     bucket = jnp.clip(
         jnp.floor((residual + 0.5) / binw), 0.0, float(n_bins - 1)
     )
-    # flat histogram: n_bins compare+reduce passes over the (R, T) band.
-    # (A coarse-to-fine superbucket argmax behind lax.cond was measured
-    # IDENTICAL — Mosaic lowers the cond to predicated execution of both
-    # branches here, so skipped fine passes still cost their cycles.)
-    bucket_i = jnp.where(sel, bucket, float(n_bins)).astype(jnp.int32)
-    cnts = jnp.concatenate(
-        [
-            jnp.sum((bucket_i == bb).astype(jnp.int32),
-                    axis=0, keepdims=True)
-            for bb in range(n_bins)
-        ],
-        axis=0,
-    )                                              # (n_bins, T)
-    counts = jnp.sum(cnts, axis=1, keepdims=True).astype(jnp.float32)
+    # packed histogram: adjacent rows can't both be local maxima
+    # (st[i] >= st[i+1] and st[i+1] > st[i] contradict), so per-column
+    # per-bin counts are <= ceil(R/2).  When that bound fits 8 bits, four
+    # bins share one uint32 accumulator (bias 2^{8f}, no inter-field carry;
+    # the per-word column total <= ceil(R/2)*(2^24+2^16+2^8+1) < 2^32), so
+    # the vote runs ceil(n_bins/4) compare+select+add passes over the
+    # (R, T) band instead of n_bins compare+add passes (~2.4x fewer VPU
+    # ops — this stage was the kernel's largest cost).  Unpacking is n_bins
+    # shift/mask/sum ops over the tiny (1, T) words.  (A coarse-to-fine
+    # superbucket argmax behind lax.cond was measured IDENTICAL — Mosaic
+    # predicates both branches, so skipped fine passes still cost their
+    # cycles; this packing keeps every pass unconditional.)
+    n_rows = s.shape[0]
+    packable = (n_rows + 1) // 2 <= 255
+    if packable:
+        n_words = -(-n_bins // 4)
+        pad_bucket = 4 * n_words                  # maps to word n_words: none
+        bucket_i = jnp.where(sel, bucket, float(pad_bucket)).astype(jnp.int32)
+        q = bucket_i >> 2
+        f = bucket_i & 3
+        sv = jnp.where(
+            f == 0, jnp.uint32(1),
+            jnp.where(f == 1, jnp.uint32(1 << 8),
+                      jnp.where(f == 2, jnp.uint32(1 << 16),
+                                jnp.uint32(1 << 24))),
+        )
+        zero_u = jnp.uint32(0)
+        words = [
+            jnp.sum(jnp.where(q == w, sv, zero_u), axis=0, keepdims=True)
+            for w in range(n_words)
+        ]                                          # each (1, T) uint32
+        fields = []
+        for w in range(n_words):
+            for ff in range(4):
+                if 4 * w + ff >= n_bins:
+                    break
+                fields.append(jnp.sum(
+                    (words[w] >> jnp.uint32(8 * ff)) & jnp.uint32(0xFF),
+                    axis=1, keepdims=True,
+                ).astype(jnp.float32))
+        counts = jnp.concatenate(fields, axis=0)   # (n_bins, 1)
+    else:
+        bucket_i = jnp.where(sel, bucket, float(n_bins)).astype(jnp.int32)
+        cnts = jnp.concatenate(
+            [
+                jnp.sum((bucket_i == bb).astype(jnp.int32),
+                        axis=0, keepdims=True)
+                for bb in range(n_bins)
+            ],
+            axis=0,
+        )                                          # (n_bins, T)
+        counts = jnp.sum(cnts, axis=1, keepdims=True).astype(jnp.float32)
     maxv = jnp.max(counts)
     iota = jax.lax.broadcasted_iota(
         jnp.int32, (n_bins, 1), 0
