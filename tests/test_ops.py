@@ -117,6 +117,36 @@ def test_fused_tuning_kernel_matches_staged_path():
     np.testing.assert_array_equal(got, want)
 
 
+def test_fused_tuning_kernel_unpackable_band_fallback():
+    """Bands too tall for the 8-bit packed vote (> 509 rows, e.g. n_fft
+    8192) must take the flat-histogram fallback and still bit-match the
+    staged path."""
+    import jax
+    import jax.numpy as jnp
+
+    import tpuvae.dsp.chroma as C
+    import tpuvae.dsp.primitives as prim
+    from tpuvae.ops.tuning import _tuning_consts, estimate_tuning_pallas
+
+    n_fft = 8192
+    _, r8, *_ = _tuning_consts(22050, n_fft, n_fft // 2 + 1, 0.01)
+    assert (r8 + 1) // 2 > 255  # really exercises the unpacked branch
+
+    rng = np.random.default_rng(17)
+    t = np.arange(2 * 22050) / 22050.0
+    clips = []
+    for _ in range(2):
+        f0 = 220 * 2 ** rng.uniform(-0.5, 0.5)
+        sig = sum(np.sin(2 * np.pi * f0 * (k + 1) * t) / (k + 1)
+                  for k in range(3))
+        clips.append((sig + 0.05 * rng.normal(size=t.shape)).astype(np.float32))
+    sp = prim.stft_power(jnp.asarray(np.stack(clips)), n_fft, 2048)
+    want = np.asarray(jax.vmap(
+        lambda s: C.estimate_tuning_from_power(s, 22050, n_fft))(sp))
+    got = np.asarray(estimate_tuning_pallas(sp, 22050, n_fft))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_fused_tuning_kernel_padded_input_matches_sliced():
     """The tuning kernel fed the CT kernel's padded bin-order power (with
     colmax + n_frames masking of the real-power pad columns) must agree

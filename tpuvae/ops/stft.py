@@ -111,7 +111,7 @@ def _stft_pallas_padded(y_rows, cos_b, sin_b, hop: int, ratio: int,
         _make_kernel(hop, ratio, span_rows),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),      # waveform rows in HBM
+            pl.BlockSpec(memory_space=pl.ANY),      # waveform rows in HBM
             pl.BlockSpec((n_fft, K_BLOCK), lambda b_, f_, k_: (0, k_),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n_fft, K_BLOCK), lambda b_, f_, k_: (0, k_),
@@ -611,7 +611,7 @@ def _ct_inner_pallas(y_rows, *consts, ratio: int,
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)]   # waveform rows
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]   # waveform rows
                  + [const_spec(c) for c in consts],
         out_specs=pl.BlockSpec(
             (1, CT_K2 * n1r, F_BLOCK), lambda b_, f_: (b_, 0, f_),
@@ -650,7 +650,7 @@ def _ct_inner_pallas_fused(y_rows, *consts_and_fb,
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)]   # waveform rows
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]   # waveform rows
                  + [const_spec(c) for c in consts_and_fb],
         out_specs=(
             pl.BlockSpec((1, CT_K2 * n1r, F_BLOCK), lambda b_, f_: (b_, 0, f_),

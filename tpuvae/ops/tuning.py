@@ -284,7 +284,7 @@ def _tuning_pallas_from_padded(power, refmax, fmask, binsb, edges, lo8: int,
         kernel,
         grid=(b,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # padded power in HBM
+            pl.BlockSpec(memory_space=pl.ANY),   # padded power in HBM
             pl.BlockSpec((1, 1, t), lambda b_: (b_, 0, 0),
                          memory_space=pltpu.VMEM),
             const(fmask), const(binsb), const(edges),
