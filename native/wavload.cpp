@@ -1,14 +1,15 @@
-// Native audio loader: RIFF/WAVE decode + mono mixdown + polyphase
-// windowed-sinc resampling + truncate/zero-pad.
+// Native audio loader: RIFF/WAVE + FLAC decode (flac.cpp) + mono mixdown
+// + polyphase windowed-sinc resampling + truncate/zero-pad.
 //
 // TPU-native equivalent of the reference's librosa.load path
 // (src/1_preprocessing.py:137-153), whose decoding/resampling runs in
 // third-party C (soundfile/audioread + soxr/resampy).  Exposed as a C ABI
 // consumed via ctypes from tpuvae.io.native_loader; the Python numpy/scipy
-// implementation in tpuvae.io.wav is the behavioral reference and fallback.
+// implementation in tpuvae.io.wav / tpuvae.io.flac is the behavioral
+// reference and fallback.
 //
-// Build: g++ -O3 -march=native -shared -fPIC -o libwavload.so wavload.cpp
-// (see native/Makefile)
+// Build: g++ -O3 -march=native -shared -fPIC -o libwavload.so \
+//            wavload.cpp flac.cpp     (see native/Makefile)
 
 #include <cmath>
 #include <cstdint>
@@ -17,13 +18,9 @@
 #include <numeric>
 #include <vector>
 
-namespace {
+#include "audio.h"
 
-struct WavData {
-  std::vector<float> samples;  // interleaved
-  int channels = 0;
-  int sample_rate = 0;
-};
+namespace {
 
 bool read_wav(const char* path, WavData* out) {
   FILE* f = std::fopen(path, "rb");
@@ -224,7 +221,18 @@ extern "C" {
 int tpuvae_load_audio(const char* path, int target_sr, double duration,
                       float* out, int64_t out_len) try {
   WavData w;
-  if (!read_wav(path, &w)) return 1;
+  // dispatch on container magic, not extension
+  bool decoded = false;
+  if (FILE* f = std::fopen(path, "rb")) {
+    char magic[4] = {0, 0, 0, 0};
+    const size_t got = std::fread(magic, 1, 4, f);
+    std::fclose(f);
+    if (got == 4 && !std::memcmp(magic, "fLaC", 4))
+      decoded = read_flac(path, &w);
+    else
+      decoded = read_wav(path, &w);
+  }
+  if (!decoded) return 1;
   // mono mixdown
   const size_t frames = w.samples.size() / size_t(w.channels);
   std::vector<float> mono(frames);

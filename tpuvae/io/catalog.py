@@ -74,7 +74,8 @@ def collect_audio_files(
             genre_path = base / genre_folder
             if not genre_path.is_dir():
                 continue
-            files = sorted(f for f in os.listdir(genre_path) if f.endswith(".wav"))
+            files = sorted(f for f in os.listdir(genre_path)
+                           if f.endswith((".wav", ".flac")))
             for audio_file in files[:max_per_class]:
                 file_id = os.path.splitext(audio_file)[0]
                 if file_id not in genre_lookup:

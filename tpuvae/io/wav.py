@@ -115,7 +115,14 @@ def load_audio(
                 return native_loader.load_audio_native(path, sample_rate, duration)
             except Exception:
                 pass  # fall through to the Python path
-    x, sr = read_wav(path)
+    with open(path, "rb") as fh:
+        magic = fh.read(4)
+    if magic == b"fLaC":
+        from tpuvae.io.flac import read_flac
+
+        x, sr = read_flac(path)
+    else:
+        x, sr = read_wav(path)
     y = to_mono(x)
     if duration is not None:
         # decode-side truncation before resample (librosa truncates at load)
