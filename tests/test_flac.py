@@ -105,6 +105,23 @@ def test_catalog_collects_flac(tmp_path):
     assert len(files) == 1 and files[0].path.endswith("song1.flac")
 
 
+def test_synth_dataset_flac_container(tmp_path):
+    """generate_dataset(container='mixed') writes both containers and the
+    catalog + loader consume them interchangeably."""
+    from tpuvae.io.catalog import collect_audio_files
+    from tpuvae.io.synthetic import generate_dataset
+
+    meta = generate_dataset(tmp_path, clips_per_genre_lang=2,
+                            genres=("rock",), duration=0.2,
+                            container="mixed")
+    files, _ = collect_audio_files(tmp_path, meta, strict=False)
+    exts = {f.path.rsplit(".", 1)[-1] for f in files}
+    assert exts == {"wav", "flac"}, exts
+    for f in files:
+        y = load_audio(f.path, 22050, 0.2, prefer_native=False)
+        assert y.shape == (4410,) and np.isfinite(y).all()
+
+
 def test_corrupt_flac_fails_cleanly(tmp_path):
     """Bit flips and truncations anywhere in the stream must raise (CRC or
     parse error) in the Python decoder and return an error (never crash)

@@ -1,7 +1,7 @@
 """Command-line interface — replaces the reference's "run the five scripts
 top to bottom" workflow (``README.md:56-87``) with subcommands:
 
-  python -m tpuvae.cli synth-data   --root=Datasets [--clips_per_genre_lang=4]
+  python -m tpuvae.cli synth-data   --root=Datasets [--clips_per_genre_lang=4] [--container=wav|flac|mixed]
   python -m tpuvae.cli preprocess            [--key=value ...]
   python -m tpuvae.cli preprocess-advanced   [--key=value ...]
   python -m tpuvae.cli train-simple          [--key=value ...]
@@ -79,7 +79,8 @@ def main(argv=None) -> int:
 def _dispatch(argv) -> int:
     cmd, *rest = argv
     shared = {"data_dir", "data1_dir", "data2_dir", "results_dir", "root",
-              "clips_per_genre_lang", "seed_data", "out_dir", "tol", "fast"}
+              "clips_per_genre_lang", "seed_data", "out_dir", "tol", "fast",
+              "container"}
     cfg_args, extras = _split_args(rest, shared)
 
     if cmd == "synth-data":
@@ -88,6 +89,7 @@ def _dispatch(argv) -> int:
         meta = generate_dataset(
             extras.get("root", "Datasets"),
             clips_per_genre_lang=int(extras.get("clips_per_genre_lang", 4)),
+            container=extras.get("container", "wav"),
         )
         print(f"synthetic dataset written; metadata: {meta}")
         return 0

@@ -67,8 +67,15 @@ def generate_dataset(
     seed: int = 42,
     include_lyricless: bool = True,
     include_jazz: bool = False,
+    container: str = "wav",
 ) -> Path:
-    """Write a reference-layout synthetic corpus; returns metadata csv path."""
+    """Write a reference-layout synthetic corpus; returns metadata csv path.
+
+    ``container`` ∈ {'wav', 'flac', 'mixed'} — 'mixed' alternates per clip,
+    exercising the loader's magic-byte dispatch across a whole pipeline run.
+    """
+    if container not in ("wav", "flac", "mixed"):
+        raise ValueError(f"unknown container {container!r}")
     root = Path(root)
     rng = np.random.default_rng(seed)
     rows = []
@@ -83,7 +90,16 @@ def generate_dataset(
                 idx += 1
                 y = synth_clip(genre if genre != "jazz" else "classical",
                                rng, sr, duration)
-                write_wav(gdir / f"{file_id}.wav", y, sr)
+                as_flac = container == "flac" or (
+                    container == "mixed" and idx % 2 == 0)
+                if as_flac:
+                    from tpuvae.io.flac import write_flac
+
+                    pcm = np.clip(np.round(y * 32767.0), -32768,
+                                  32767).astype(np.int64)
+                    write_flac(gdir / f"{file_id}.flac", pcm, sr, 16)
+                else:
+                    write_wav(gdir / f"{file_id}.wav", y, sr)
                 lyrics = LYRICS_BANK[lang] + f" verse {i}"
                 if include_lyricless and i == clips_per_genre_lang - 1:
                     lyrics = "instrumental"      # filtered by the strict catalog
