@@ -260,3 +260,35 @@ def test_ct_pallas_alternate_geometry_1024():
                               fromlist=["zero_crossing_rate"]
                               ).zero_crossing_rate(jnp.asarray(y), 1024, 256)),
     )
+
+
+def test_fused_tuning_kernel_median_radix_variants(monkeypatch):
+    """The median digit-descent must be bit-exact at every radix width.
+
+    ``TPUVAE_MEDIAN_BITS`` trades sequential rounds for parallel
+    compare+reduce passes (32x1-bit bisection vs e.g. 8x4-bit radix-16
+    descent); all widths select the identical order-statistic keys, so the
+    tuning output must be bitwise identical to the staged XLA path.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    import tpuvae.dsp.chroma as C
+    import tpuvae.dsp.primitives as prim
+    from tpuvae.ops.tuning import estimate_tuning_pallas
+
+    rng = np.random.default_rng(23)
+    t = np.arange(33075) / 22050.0
+    clips = []
+    for _ in range(3):
+        f0 = 196 * 2 ** rng.uniform(-0.5, 0.5)
+        sig = sum(np.sin(2 * np.pi * f0 * (k + 1) * t + rng.uniform(0, 6))
+                  / (k + 1) for k in range(5))
+        clips.append((sig + 0.05 * rng.normal(size=t.shape)).astype(np.float32))
+    sp = prim.stft_power(jnp.asarray(np.stack(clips)), 2048, 512)
+    want = np.asarray(jax.vmap(
+        lambda s: C.estimate_tuning_from_power(s, 22050, 2048))(sp))
+    for bits in (1, 2, 4, 8):
+        monkeypatch.setenv("TPUVAE_MEDIAN_BITS", str(bits))
+        got = np.asarray(estimate_tuning_pallas(sp, 22050, 2048))
+        np.testing.assert_array_equal(got, want, err_msg=f"bits={bits}")

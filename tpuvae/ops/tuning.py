@@ -48,9 +48,22 @@ from tpuvae.dsp.primitives import fft_frequencies
 _I32_MAX = 2**31 - 1
 
 
+def _median_digit_bits_default() -> int:
+    """Bits fixed per median-selection round (env ``TPUVAE_MEDIAN_BITS``).
+
+    The masked-median key search runs ``32 / bits`` sequential rounds; each
+    round issues ``2**bits - 1`` independent compare+reduce passes over the
+    band.  More bits per round trades VPU ops for dependency-chain latency
+    (every round's scalar count gates the next round's thresholds).
+    """
+    import os
+
+    return int(os.environ.get("TPUVAE_MEDIAN_BITS", "1"))
+
+
 def _tuning_body(s, refmax, fmask, binsb, edges, n_frames: int, n_valid: int,
                  scale: float, bins_per_octave: int, n_bins: int,
-                 binw: float):
+                 binw: float, median_bits: int = 1):
     """Per-clip tuning estimate from the VMEM-resident band ``s (R, T)``.
 
     Shared by the BlockSpec-fetched and manual-DMA kernel variants.
@@ -90,15 +103,31 @@ def _tuning_body(s, refmax, fmask, binsb, edges, n_frames: int, n_valid: int,
     k_lo = jnp.maximum((n - 1) // 2, 0)
     k_hi = jnp.maximum(n // 2, 0)
 
-    def body(_, st_):
-        lo, hi = st_
-        mid = (lo & hi) + ((lo ^ hi) >> 1)
-        cnt = jnp.sum((ikey <= mid).astype(jnp.int32))
-        fnd = cnt >= k_lo + 1
-        return jnp.where(fnd, lo, mid + 1), jnp.where(fnd, mid, hi)
-
-    klo_i, _ = jax.lax.fori_loop(
-        0, 32, body, (jnp.int32(-(2**31)), jnp.int32(_I32_MAX))
+    # radix-digit descent for the (k_lo+1)-th smallest key: each round fixes
+    # ``median_bits`` more high bits of the answer by counting, for all
+    # 2^bits - 1 candidate thresholds AT ONCE (independent compare+reduce
+    # passes that pipeline), how many keys fall at or below each.  The
+    # scalar counts gate the next round, so rounds — not passes — set the
+    # dependency-chain latency; bits=1 is the classic 32-round bisection.
+    assert 32 % median_bits == 0, median_bits
+    radix = 1 << median_bits
+    want = k_lo + 1
+    prefix = jnp.uint32(0)
+    for rnd in range(32 // median_bits):
+        shift = 32 - median_bits * (rnd + 1)
+        counts = []
+        for j in range(radix - 1):
+            thr_u = prefix + jnp.uint32(((j + 1) << shift) - 1)
+            thr_i = jax.lax.bitcast_convert_type(
+                thr_u ^ jnp.uint32(0x80000000), jnp.int32
+            )
+            counts.append(jnp.sum((ikey <= thr_i).astype(jnp.int32)))
+        digit = sum(
+            (c < want).astype(jnp.uint32) for c in counts
+        )
+        prefix = prefix | (digit << shift)
+    klo_i = jax.lax.bitcast_convert_type(
+        prefix ^ jnp.uint32(0x80000000), jnp.int32
     )
     cnt_le = jnp.sum((ikey <= klo_i).astype(jnp.int32))
     knext_i = jnp.min(jnp.where(ikey > klo_i, ikey, jnp.int32(_I32_MAX)))
@@ -187,13 +216,14 @@ def _tuning_body(s, refmax, fmask, binsb, edges, n_frames: int, n_valid: int,
 
 def _make_tuning_kernel(n_rows: int, n_frames: int, n_valid: int,
                         scale: float, bins_per_octave: int, n_bins: int,
-                        binw: float):
+                        binw: float, median_bits: int):
     def kernel(band_ref, refmax_ref, fmask_ref, binsb_ref, edges_ref,
                out_ref):
         s = band_ref[0].astype(jnp.float32)
         out_ref[0, 0, 0] = _tuning_body(
             s, refmax_ref[0], fmask_ref[:], binsb_ref[:], edges_ref[:],
             n_frames, n_valid, scale, bins_per_octave, n_bins, binw,
+            median_bits=median_bits,
         )
 
     return kernel
@@ -201,7 +231,7 @@ def _make_tuning_kernel(n_rows: int, n_frames: int, n_valid: int,
 
 def _make_tuning_kernel_dma(lo8: int, r8: int, n_frames: int, n_valid: int,
                             scale: float, bins_per_octave: int, n_bins: int,
-                            binw: float):
+                            binw: float, median_bits: int):
     """Variant reading the band rows straight from the (padded) power array
     in HBM with a double-buffered manual DMA — no XLA band slice."""
 
@@ -231,6 +261,7 @@ def _make_tuning_kernel_dma(lo8: int, r8: int, n_frames: int, n_valid: int,
         out_ref[0, 0, 0] = _tuning_body(
             s, refmax_ref[0], fmask_ref[:], binsb_ref[:], edges_ref[:],
             n_frames, n_valid, scale, bins_per_octave, n_bins, binw,
+            median_bits=median_bits,
         )
 
     return kernel
@@ -239,14 +270,14 @@ def _make_tuning_kernel_dma(lo8: int, r8: int, n_frames: int, n_valid: int,
 @functools.partial(
     jax.jit,
     static_argnames=("n_valid", "scale", "bins_per_octave", "n_bins", "binw",
-                     "interpret"),
+                     "median_bits", "interpret"),
 )
 def _tuning_pallas(band, refmax, fmask, binsb, edges, n_valid: int,
                    scale: float, bins_per_octave: int, n_bins: int,
-                   binw: float, interpret: bool):
+                   binw: float, median_bits: int, interpret: bool):
     b, r, t = band.shape
     kernel = _make_tuning_kernel(r, t, n_valid, scale, bins_per_octave,
-                                 n_bins, binw)
+                                 n_bins, binw, median_bits)
     const = lambda m: pl.BlockSpec(m.shape, lambda b_: tuple([0] * m.ndim),
                                    memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -269,15 +300,17 @@ def _tuning_pallas(band, refmax, fmask, binsb, edges, n_valid: int,
 @functools.partial(
     jax.jit,
     static_argnames=("lo8", "r8", "n_valid", "scale", "bins_per_octave",
-                     "n_bins", "binw", "interpret"),
+                     "n_bins", "binw", "median_bits", "interpret"),
 )
 def _tuning_pallas_from_padded(power, refmax, fmask, binsb, edges, lo8: int,
                                r8: int, n_valid: int, scale: float,
                                bins_per_octave: int, n_bins: int,
-                               binw: float, interpret: bool):
+                               binw: float, median_bits: int,
+                               interpret: bool):
     b, _, t = power.shape
     kernel = _make_tuning_kernel_dma(lo8, r8, t, n_valid, scale,
-                                     bins_per_octave, n_bins, binw)
+                                     bins_per_octave, n_bins, binw,
+                                     median_bits)
     const = lambda m: pl.BlockSpec(m.shape, lambda b_: tuple([0] * m.ndim),
                                    memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -367,18 +400,20 @@ def estimate_tuning_pallas(
         full_max = jnp.max(real, axis=1, keepdims=True).astype(jnp.float32)
     refmax = PIPTRACK_THRESHOLD * full_max
     consts = (jnp.asarray(fmask), jnp.asarray(binsb), jnp.asarray(edges))
+    median_bits = _median_digit_bits_default()
     if padded:
         out = _tuning_pallas_from_padded(
             s_power, refmax, *consts, lo8=lo8, r8=r8,
             n_valid=int(n_frames), scale=float(sr) / n_fft,
             bins_per_octave=bins_per_octave, n_bins=n_bins, binw=binw,
-            interpret=interpret,
+            median_bits=median_bits, interpret=interpret,
         )
     else:
         band = jax.lax.slice_in_dim(s_power, lo8, lo8 + r8, axis=1)
         out = _tuning_pallas(
             band, refmax, *consts, n_valid=int(n_frames),
             scale=float(sr) / n_fft, bins_per_octave=bins_per_octave,
-            n_bins=n_bins, binw=binw, interpret=interpret,
+            n_bins=n_bins, binw=binw, median_bits=median_bits,
+            interpret=interpret,
         )
     return out[:, 0, 0]
