@@ -28,7 +28,46 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def _relay(cmd, env, timeout_s):
+    """Run ``cmd``, relaying stderr live; return its stdout (None on
+    timeout/failure).  The TPU here lives behind a network relay; when the
+    tunnel is down, backend init blocks indefinitely — the timeout converts
+    that hang into a CPU-fallback measurement instead of hanging the driver.
+    """
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            cmd, env=env, timeout=timeout_s, stdout=subprocess.PIPE,
+            text=True, cwd=str(Path(__file__).parent),
+        )
+    except subprocess.TimeoutExpired:
+        return None
+    return proc.stdout if proc.returncode == 0 else None
+
+
 def main():
+    import os
+
+    if os.environ.get("TPUVAE_BENCH_REEXEC") != "1":
+        budget = float(os.environ.get("TPUVAE_BENCH_TIMEOUT", "1200"))
+        env = dict(os.environ)
+        env["TPUVAE_BENCH_REEXEC"] = "1"
+        out = _relay([sys.executable, __file__], env, budget)
+        if out is None:
+            log(f"default-backend bench did not finish within {budget:.0f}s "
+                f"(TPU relay down?); re-running on the CPU backend — an "
+                f"honest fallback, NOT a TPU number")
+            env["JAX_PLATFORMS"] = "cpu"
+            env["PYTHONPATH"] = str(Path(__file__).parent)  # drop sitecustomize
+            env["TPUVAE_BENCH_FALLBACK"] = "1"
+            out = _relay([sys.executable, __file__], env, budget)
+        if out is None:
+            raise SystemExit("bench failed on both default and CPU backends")
+        sys.stdout.write(out)
+        return
+    fallback = os.environ.get("TPUVAE_BENCH_FALLBACK") == "1"
+
     import jax
     import jax.numpy as jnp
 
@@ -45,7 +84,7 @@ def main():
     backend = jax.default_backend()
     log(f"backend: {backend}, devices: {jax.devices()}")
 
-    batch = 128
+    batch = 32 if fallback else 128
     clips, _ = generate_memory_batch(
         n_per_genre=batch // 4, genres=("rock", "classical", "pop", "folk"),
         duration=cfg.duration, seed=7,
@@ -103,23 +142,27 @@ def main():
     t0 = time.time()
     np.asarray(fn(xs[0]))
     log(f"compile+first run: {time.time() - t0:.1f}s")
-    reps = 10
+    reps = 2 if fallback else 10
     best = float("inf")
-    for _ in range(3):
+    for _ in range(1 if fallback else 3):
         t0 = time.time()
         for i in range(reps):
             out = fn(xs[i % len(xs)])
         np.asarray(out)
         best = min(best, (time.time() - t0) / reps)
     tpu_clips_per_sec = batch / best
-    log(f"TPU batched: {tpu_clips_per_sec:.1f} clips/s (batch {batch})")
+    log(f"{backend} batched: {tpu_clips_per_sec:.1f} clips/s (batch {batch})")
 
-    print(json.dumps({
+    result = {
         "metric": "feature_extraction_throughput_370d_30s_clips",
         "value": round(tpu_clips_per_sec, 2),
         "unit": "clips/sec",
         "vs_baseline": round(tpu_clips_per_sec / cpu_clips_per_sec, 2),
-    }))
+    }
+    if fallback:
+        result["note"] = ("TPU relay unreachable at bench time; batched "
+                          "path measured on the CPU backend instead")
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
