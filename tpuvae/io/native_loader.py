@@ -16,9 +16,21 @@ from pathlib import Path
 import numpy as np
 
 _NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
-_LIB_PATH = _NATIVE_DIR / "libwavload.so"
 _lib = None
 _build_failed = False
+
+
+def _find_lib_path() -> Path:
+    """Shared-library search order: explicit env override, the installed
+    package's ``tpuvae/_native/`` (built by setup.py at wheel-build time),
+    then the source checkout's ``native/`` (built on first use via make)."""
+    env = os.environ.get("TPUVAE_NATIVE_LIB")
+    if env:
+        return Path(env)
+    pkg = Path(__file__).resolve().parents[1] / "_native" / "libwavload.so"
+    if pkg.exists():
+        return pkg
+    return _NATIVE_DIR / "libwavload.so"
 
 
 def _get_lib():
@@ -26,12 +38,13 @@ def _get_lib():
     if _lib is not None or _build_failed:
         return _lib
     try:
-        if not _LIB_PATH.exists():
+        lib_path = _find_lib_path()
+        if not lib_path.exists() and lib_path.parent == _NATIVE_DIR:
             subprocess.run(
                 ["make", "-C", str(_NATIVE_DIR)],
                 check=True, capture_output=True, timeout=120,
             )
-        lib = ctypes.CDLL(str(_LIB_PATH))
+        lib = ctypes.CDLL(str(lib_path))
         lib.tpuvae_load_audio.restype = ctypes.c_int
         lib.tpuvae_load_audio.argtypes = [
             ctypes.c_char_p, ctypes.c_int, ctypes.c_double,
