@@ -292,3 +292,10 @@ def test_fused_tuning_kernel_median_radix_variants(monkeypatch):
         monkeypatch.setenv("TPUVAE_MEDIAN_BITS", str(bits))
         got = np.asarray(estimate_tuning_pallas(sp, 22050, 2048))
         np.testing.assert_array_equal(got, want, err_msg=f"bits={bits}")
+    # row-chunked 8-bins-per-word vote, alone and with the radix median
+    for bits in (1, 4):
+        monkeypatch.setenv("TPUVAE_MEDIAN_BITS", str(bits))
+        monkeypatch.setenv("TPUVAE_VOTE_CHUNKED", "1")
+        got = np.asarray(estimate_tuning_pallas(sp, 22050, 2048))
+        np.testing.assert_array_equal(
+            got, want, err_msg=f"chunked vote, bits={bits}")

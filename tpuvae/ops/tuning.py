@@ -61,9 +61,23 @@ def _median_digit_bits_default() -> int:
     return int(os.environ.get("TPUVAE_MEDIAN_BITS", "1"))
 
 
+def _vote_chunked_default() -> bool:
+    """Row-chunked 4-bit-field histogram vote (env ``TPUVAE_VOTE_CHUNKED``).
+
+    Accumulates the vote in 30-row chunks whose per-column per-bin counts
+    fit 4 bits, so EIGHT bins share one uint32 word (vs four at 8 bits):
+    half the compare+select+add passes over the band, at the cost of a
+    per-chunk widen-and-accumulate over tiny (1, T) words.
+    """
+    import os
+
+    return os.environ.get("TPUVAE_VOTE_CHUNKED", "0") == "1"
+
+
 def _tuning_body(s, refmax, fmask, binsb, edges, n_frames: int, n_valid: int,
                  scale: float, bins_per_octave: int, n_bins: int,
-                 binw: float, median_bits: int = 1):
+                 binw: float, median_bits: int = 1,
+                 vote_chunked: bool = False):
     """Per-clip tuning estimate from the VMEM-resident band ``s (R, T)``.
 
     Shared by the BlockSpec-fetched and manual-DMA kernel variants.
@@ -166,7 +180,50 @@ def _tuning_body(s, refmax, fmask, binsb, edges, n_frames: int, n_valid: int,
     # cycles; this packing keeps every pass unconditional.)
     n_rows = s.shape[0]
     packable = (n_rows + 1) // 2 <= 255
-    if packable:
+    if packable and vote_chunked:
+        # 4-bit fields: within any 30 consecutive band rows a column holds
+        # at most ceil(30/2) = 15 local maxima per bin (adjacent rows can't
+        # both be maxima), so EIGHT bins share one uint32 word per chunk;
+        # chunk words are widened to the 8-bit-field layout (two masked
+        # shifts over (1, T)) and summed across chunks (total <= ceil(R/2)
+        # <= 255, the packable bound — no inter-field carry).
+        n_words = -(-n_bins // 8)
+        pad_bucket = 8 * n_words                  # maps to word n_words: none
+        bucket_i = jnp.where(sel, bucket, float(pad_bucket)).astype(jnp.int32)
+        q = bucket_i >> 3
+        f = bucket_i & 7
+        low = jnp.where(
+            (f & 3) == 0, jnp.uint32(1),
+            jnp.where((f & 3) == 1, jnp.uint32(1 << 4),
+                      jnp.where((f & 3) == 2, jnp.uint32(1 << 8),
+                                jnp.uint32(1 << 12))),
+        )
+        sv = jnp.where(f >= 4, low << jnp.uint32(16), low)
+        zero_u = jnp.uint32(0)
+        nib = jnp.uint32(0x0F0F0F0F)
+        acc_lo = [None] * n_words                 # fields 0,2,4,6 as bytes
+        acc_hi = [None] * n_words                 # fields 1,3,5,7 as bytes
+        for r0 in range(0, n_rows, 30):
+            qc, svc = q[r0 : r0 + 30], sv[r0 : r0 + 30]
+            for w in range(n_words):
+                word = jnp.sum(jnp.where(qc == w, svc, zero_u),
+                               axis=0, keepdims=True)      # (1, T)
+                lo = word & nib
+                hi = (word >> jnp.uint32(4)) & nib
+                acc_lo[w] = lo if acc_lo[w] is None else acc_lo[w] + lo
+                acc_hi[w] = hi if acc_hi[w] is None else acc_hi[w] + hi
+        fields = []
+        for w in range(n_words):
+            for ff in range(8):
+                if 8 * w + ff >= n_bins:
+                    break
+                src = acc_lo[w] if ff % 2 == 0 else acc_hi[w]
+                fields.append(jnp.sum(
+                    (src >> jnp.uint32(8 * (ff // 2))) & jnp.uint32(0xFF),
+                    axis=1, keepdims=True,
+                ).astype(jnp.float32))
+        counts = jnp.concatenate(fields, axis=0)   # (n_bins, 1)
+    elif packable:
         n_words = -(-n_bins // 4)
         pad_bucket = 4 * n_words                  # maps to word n_words: none
         bucket_i = jnp.where(sel, bucket, float(pad_bucket)).astype(jnp.int32)
@@ -216,14 +273,14 @@ def _tuning_body(s, refmax, fmask, binsb, edges, n_frames: int, n_valid: int,
 
 def _make_tuning_kernel(n_rows: int, n_frames: int, n_valid: int,
                         scale: float, bins_per_octave: int, n_bins: int,
-                        binw: float, median_bits: int):
+                        binw: float, median_bits: int, vote_chunked: bool):
     def kernel(band_ref, refmax_ref, fmask_ref, binsb_ref, edges_ref,
                out_ref):
         s = band_ref[0].astype(jnp.float32)
         out_ref[0, 0, 0] = _tuning_body(
             s, refmax_ref[0], fmask_ref[:], binsb_ref[:], edges_ref[:],
             n_frames, n_valid, scale, bins_per_octave, n_bins, binw,
-            median_bits=median_bits,
+            median_bits=median_bits, vote_chunked=vote_chunked,
         )
 
     return kernel
@@ -231,7 +288,8 @@ def _make_tuning_kernel(n_rows: int, n_frames: int, n_valid: int,
 
 def _make_tuning_kernel_dma(lo8: int, r8: int, n_frames: int, n_valid: int,
                             scale: float, bins_per_octave: int, n_bins: int,
-                            binw: float, median_bits: int):
+                            binw: float, median_bits: int,
+                            vote_chunked: bool):
     """Variant reading the band rows straight from the (padded) power array
     in HBM with a double-buffered manual DMA — no XLA band slice."""
 
@@ -261,7 +319,7 @@ def _make_tuning_kernel_dma(lo8: int, r8: int, n_frames: int, n_valid: int,
         out_ref[0, 0, 0] = _tuning_body(
             s, refmax_ref[0], fmask_ref[:], binsb_ref[:], edges_ref[:],
             n_frames, n_valid, scale, bins_per_octave, n_bins, binw,
-            median_bits=median_bits,
+            median_bits=median_bits, vote_chunked=vote_chunked,
         )
 
     return kernel
@@ -270,14 +328,15 @@ def _make_tuning_kernel_dma(lo8: int, r8: int, n_frames: int, n_valid: int,
 @functools.partial(
     jax.jit,
     static_argnames=("n_valid", "scale", "bins_per_octave", "n_bins", "binw",
-                     "median_bits", "interpret"),
+                     "median_bits", "vote_chunked", "interpret"),
 )
 def _tuning_pallas(band, refmax, fmask, binsb, edges, n_valid: int,
                    scale: float, bins_per_octave: int, n_bins: int,
-                   binw: float, median_bits: int, interpret: bool):
+                   binw: float, median_bits: int, vote_chunked: bool,
+                   interpret: bool):
     b, r, t = band.shape
     kernel = _make_tuning_kernel(r, t, n_valid, scale, bins_per_octave,
-                                 n_bins, binw, median_bits)
+                                 n_bins, binw, median_bits, vote_chunked)
     const = lambda m: pl.BlockSpec(m.shape, lambda b_: tuple([0] * m.ndim),
                                    memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -300,17 +359,18 @@ def _tuning_pallas(band, refmax, fmask, binsb, edges, n_valid: int,
 @functools.partial(
     jax.jit,
     static_argnames=("lo8", "r8", "n_valid", "scale", "bins_per_octave",
-                     "n_bins", "binw", "median_bits", "interpret"),
+                     "n_bins", "binw", "median_bits", "vote_chunked",
+                     "interpret"),
 )
 def _tuning_pallas_from_padded(power, refmax, fmask, binsb, edges, lo8: int,
                                r8: int, n_valid: int, scale: float,
                                bins_per_octave: int, n_bins: int,
                                binw: float, median_bits: int,
-                               interpret: bool):
+                               vote_chunked: bool, interpret: bool):
     b, _, t = power.shape
     kernel = _make_tuning_kernel_dma(lo8, r8, t, n_valid, scale,
                                      bins_per_octave, n_bins, binw,
-                                     median_bits)
+                                     median_bits, vote_chunked)
     const = lambda m: pl.BlockSpec(m.shape, lambda b_: tuple([0] * m.ndim),
                                    memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -401,12 +461,14 @@ def estimate_tuning_pallas(
     refmax = PIPTRACK_THRESHOLD * full_max
     consts = (jnp.asarray(fmask), jnp.asarray(binsb), jnp.asarray(edges))
     median_bits = _median_digit_bits_default()
+    vote_chunked = _vote_chunked_default()
     if padded:
         out = _tuning_pallas_from_padded(
             s_power, refmax, *consts, lo8=lo8, r8=r8,
             n_valid=int(n_frames), scale=float(sr) / n_fft,
             bins_per_octave=bins_per_octave, n_bins=n_bins, binw=binw,
-            median_bits=median_bits, interpret=interpret,
+            median_bits=median_bits, vote_chunked=vote_chunked,
+            interpret=interpret,
         )
     else:
         band = jax.lax.slice_in_dim(s_power, lo8, lo8 + r8, axis=1)
@@ -414,6 +476,6 @@ def estimate_tuning_pallas(
             band, refmax, *consts, n_valid=int(n_frames),
             scale=float(sr) / n_fft, bins_per_octave=bins_per_octave,
             n_bins=n_bins, binw=binw, median_bits=median_bits,
-            interpret=interpret,
+            vote_chunked=vote_chunked, interpret=interpret,
         )
     return out[:, 0, 0]
