@@ -55,6 +55,10 @@ def main():
         env["TPUVAE_BENCH_REEXEC"] = "1"
         out = _relay([sys.executable, __file__], env, budget)
         if out is None:
+            # the relay is intermittent: one more try before giving up on it
+            log("default-backend bench attempt 1 failed/hung; retrying once")
+            out = _relay([sys.executable, __file__], env, budget / 2)
+        if out is None:
             log(f"default-backend bench did not finish within {budget:.0f}s "
                 f"(TPU relay down?); re-running on the CPU backend — an "
                 f"honest fallback, NOT a TPU number")
