@@ -1,0 +1,47 @@
+"""Use your own audio corpus with tpuvae.
+
+Expected layout (the reference's — ``SURVEY.md`` L0)::
+
+    MyData/
+      Bangla_Datasets/<genre>/<id>.wav     # or .flac
+      English_Datasets/<genre>/<id>.wav
+      metadata.csv                          # columns: ID, genre, lyrics
+
+Anything decodable by the first-party loaders works: WAV (PCM 8/16/24/32,
+float, WAVE_FORMAT_EXTENSIBLE) and FLAC, any rate (polyphase-resampled to
+``sample_rate``), any channel count (averaged to mono).  Clips shorter
+than ``duration`` are zero-padded, longer ones truncated — exactly the
+reference's ``load_audio_file`` semantics.
+
+Run with ``--root=MyData --metadata=MyData/metadata.csv``.
+"""
+
+import sys
+
+from tpuvae.config import AdvancedPreprocessConfig, HybridVAEConfig, PreprocessConfig
+from tpuvae.pipelines import preprocess_advanced, preprocess_basic, run_hybrid_vae
+
+
+def main(root: str, metadata: str):
+    # basic 370-d pipeline -> processed_data1/ (keeps every cataloged clip)
+    preprocess_basic(PreprocessConfig(
+        dataset_root=root, metadata_csv=metadata,
+        # precision_mode='fast' (default) = bf16-grade spectra, ~1.4x faster;
+        # 'exact' pins fp32 everywhere
+        precision_mode="fast",
+    ))
+
+    # advanced pipeline -> processed_data2/ (mel images + 290-d + lyric
+    # embeddings; drops jazz and lyric-less tracks like the reference).
+    # For datasets larger than host RAM set assembly_mode='streaming'.
+    preprocess_advanced(AdvancedPreprocessConfig(
+        dataset_root=root, metadata_csv=metadata,
+    ))
+
+    # train the flagship Hybrid VAE + full clustering sweep -> results/
+    run_hybrid_vae("processed_data2", "results", cfg=HybridVAEConfig())
+
+
+if __name__ == "__main__":
+    args = dict(a.lstrip("-").split("=", 1) for a in sys.argv[1:])
+    main(args.get("root", "MyData"), args.get("metadata", "MyData/metadata.csv"))
