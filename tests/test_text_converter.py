@@ -149,3 +149,56 @@ def test_embed_lyrics_env_checkpoint_missing_raises(monkeypatch):
     monkeypatch.setenv("TPUVAE_TEXT_CHECKPOINT", "/nonexistent/ckpt-dir")
     with pytest.raises(FileNotFoundError):
         embed_lyrics(["x"])
+
+
+def test_checkpoint_flow_end_to_end(tmp_path):
+    """The full $TPUVAE_TEXT_CHECKPOINT path on a tiny fake checkpoint:
+    torch state_dict on disk -> geometry inferred from shapes -> converted
+    flax graph -> first-party sentencepiece tokenization -> embeddings.
+    Proves the wiring (not semantics — the converter-parity test above
+    covers numerics) works without `transformers` and at a non-base size.
+    """
+    import struct
+
+    from tpuvae.text import embed_lyrics, infer_encoder_config
+
+    # 1. weights: the HF-named state dict of the tiny torch encoder
+    torch.manual_seed(1)
+    tmodel = TorchEncoder(CFG).eval()
+    sd = {k: torch.as_tensor(np.asarray(v))
+          for k, v in tmodel.hf_state_dict().items()}
+    torch.save(sd, tmp_path / "pytorch_model.bin")
+
+    inferred = infer_encoder_config({k: v.numpy() for k, v in sd.items()})
+    assert (inferred.vocab_size, inferred.hidden, inferred.layers,
+            inferred.intermediate) == (CFG.vocab_size, CFG.hidden,
+                                       CFG.layers, CFG.intermediate)
+
+    # 2. tokenizer: a hand-built unigram sentencepiece ModelProto
+    S = "▁"
+
+    def piece(p, score, typ=1):
+        data = p.encode("utf-8")
+        pb = bytes([0x0A, len(data)]) + data
+        pb += b"\x15" + struct.pack("<f", score)
+        if typ != 1:
+            pb += bytes([0x18, typ])
+        return bytes([0x0A, len(pb)]) + pb
+
+    pieces = [("<unk>", 0.0, 2), ("<s>", 0.0, 3), ("</s>", 0.0, 3),
+              (S, -3.0), (f"{S}hello", -1.0), (f"{S}world", -1.0),
+              ("l", -4.0), ("o", -4.0), ("h", -5.0), ("e", -5.0),
+              ("w", -5.0), ("r", -5.0), ("d", -5.0)]
+    (tmp_path / "sentencepiece.bpe.model").write_bytes(
+        b"".join(piece(*p) for p in pieces)
+    )
+
+    emb, backend = embed_lyrics(
+        ["hello world", "", "world hello hello"], checkpoint=str(tmp_path)
+    )
+    assert backend == f"xlmr-checkpoint:{tmp_path.name}"
+    assert emb.shape == (3, CFG.hidden) and np.isfinite(emb).all()
+    # deterministic, and distinct texts embed distinctly
+    emb2, _ = embed_lyrics(["hello world"], checkpoint=str(tmp_path))
+    np.testing.assert_allclose(emb2[0], emb[0], rtol=1e-5, atol=1e-6)
+    assert np.abs(emb[0] - emb[2]).max() > 1e-4

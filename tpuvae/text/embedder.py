@@ -74,17 +74,20 @@ def _encode_with_checkpoint(texts, checkpoint: str, batch_size: int) -> np.ndarr
     import jax.numpy as jnp
     import torch
 
-    from tpuvae.text.encoder import EncoderConfig, SentenceEncoder, convert_hf_state_dict
+    from tpuvae.text.encoder import (
+        SentenceEncoder,
+        convert_hf_state_dict,
+        infer_encoder_config,
+    )
     from tpuvae.text.tokenizer import XlmRobertaTokenizer, find_sentencepiece_model
 
     state_dict = torch.load(
         Path(checkpoint) / "pytorch_model.bin", map_location="cpu",
         weights_only=True,
     )
-    cfg = EncoderConfig()
-    variables = convert_hf_state_dict(
-        {k: v.numpy() for k, v in state_dict.items()}, cfg
-    )
+    sd_np = {k: v.numpy() for k, v in state_dict.items()}
+    cfg = infer_encoder_config(sd_np)  # any XLM-R-family size
+    variables = convert_hf_state_dict(sd_np, cfg)
     model = SentenceEncoder(cfg)
     encode = jax.jit(lambda ids, mask: model.apply(variables, ids, mask))
 
@@ -94,9 +97,12 @@ def _encode_with_checkpoint(texts, checkpoint: str, batch_size: int) -> np.ndarr
             f"no sentencepiece model (*.model) in checkpoint dir {checkpoint!r}"
         )
     tok = XlmRobertaTokenizer(spm)
+    # position ids run to seq_len + pad_token_id + 1 — stay inside the
+    # checkpoint's position table whatever its size
+    max_len = min(128, cfg.max_positions - cfg.pad_token_id - 1)
     out = []
     for i in range(0, len(texts), batch_size):
-        batch = tok(texts[i : i + batch_size], max_length=128)
+        batch = tok(texts[i : i + batch_size], max_length=max_len)
         emb = encode(
             jnp.asarray(batch["input_ids"]), jnp.asarray(batch["attention_mask"])
         )

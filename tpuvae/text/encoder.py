@@ -75,6 +75,41 @@ class SentenceEncoder(nn.Module):
         return jnp.sum(x * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1), 1e-9)
 
 
+def infer_encoder_config(state_dict: dict) -> EncoderConfig:
+    """Encoder geometry from a checkpoint's weight shapes.
+
+    vocab/hidden/layers/intermediate/max_positions/type_vocab are all
+    determined by shapes; ``heads`` is not recoverable from shapes (the
+    per-head split is a reshape), so the XLM-R family's 64-d head
+    convention is assumed (768 hidden -> 12 heads).  Lets the checkpoint
+    path run any XLM-R-family size, not just the 278 M-param base.
+    """
+    import re
+
+    def g(key):
+        for prefix in ("", "roberta.", "0.auto_model."):
+            k = prefix + key
+            if k in state_dict:
+                return np.asarray(state_dict[k])
+        raise KeyError(key)
+
+    vocab, hidden = g("embeddings.word_embeddings.weight").shape
+    layers = 1 + max(
+        int(m.group(1))
+        for k in state_dict
+        if (m := re.search(r"encoder\.layer\.(\d+)\.", k))
+    )
+    return EncoderConfig(
+        vocab_size=int(vocab),
+        hidden=int(hidden),
+        layers=layers,
+        heads=max(1, int(hidden) // 64),
+        intermediate=int(g("encoder.layer.0.intermediate.dense.weight").shape[0]),
+        max_positions=int(g("embeddings.position_embeddings.weight").shape[0]),
+        type_vocab=int(g("embeddings.token_type_embeddings.weight").shape[0]),
+    )
+
+
 def convert_hf_state_dict(state_dict: dict, cfg: EncoderConfig = EncoderConfig()):
     """Map a HuggingFace XLM-RoBERTa torch state_dict onto SentenceEncoder
     params.  Accepts numpy-convertible tensors keyed in the standard
