@@ -71,10 +71,18 @@ def main():
     n_frames = num_frames(nsamp, cfg.hop_length)
     log(f"power: {power.shape} {power.dtype}, n_frames={n_frames}")
 
-    def tuning_call():
+    # distinct input batches so no caching/dispatch layer can skip real
+    # execution (same rule as bench.py)
+    import jax.numpy as jnp2
+
+    powers = [power] + [jnp2.roll(power, i, axis=0) for i in (1, 2)]
+    colmaxs = [colmax] + [jnp2.roll(colmax, i, axis=0) for i in (1, 2)]
+    powers[-1].block_until_ready()
+
+    def tuning_call(i=0):
         return estimate_tuning_pallas(
-            power, cfg.sample_rate, cfg.n_fft,
-            colmax=colmax, n_frames=n_frames,
+            powers[i % 3], cfg.sample_rate, cfg.n_fft,
+            colmax=colmaxs[i % 3], n_frames=n_frames,
         )
 
     results = {}
@@ -86,8 +94,8 @@ def main():
             reps = 10
             t0 = time.time()
             out = None
-            for _ in range(reps):
-                out = tuning_call()
+            for i in range(reps):
+                out = tuning_call(i)
             np.asarray(out)
             dt = (time.time() - t0) / reps
             results[(bits, chunked)] = dt
@@ -112,16 +120,17 @@ def main():
         if resolve_numerics(cfg)[1] == "ct_pallas":
             fn = jit_extractor(extract_basic_features, cfg,
                                num_samples=nsamp)
-            feed = rows
+            feeds = [rows] + [jnp.roll(rows, i, axis=0) for i in (1, 2)]
         else:               # CPU smoke runs: no pre-rowed layout
             fn = jit_extractor(extract_basic_features, cfg)
-            feed = jnp.asarray(clips)
-        np.asarray(fn(feed))
+            feeds = [jnp.asarray(np.roll(clips, i, axis=0))
+                     for i in range(3)]
+        np.asarray(fn(feeds[0]))
         reps = 10
         t0 = time.time()
         out = None
-        for _ in range(reps):
-            out = fn(feed)
+        for i in range(reps):
+            out = fn(feeds[i % 3])
         np.asarray(out)
         dt = (time.time() - t0) / reps
         log(f"end-to-end [{tag} bits={bits} chunked={chunked}]: "

@@ -43,5 +43,8 @@ def main(root: str, metadata: str):
 
 
 if __name__ == "__main__":
-    args = dict(a.lstrip("-").split("=", 1) for a in sys.argv[1:])
+    pairs = [a.lstrip("-").split("=", 1) for a in sys.argv[1:]]
+    if any(len(p) != 2 for p in pairs):
+        raise SystemExit(__doc__)
+    args = dict(pairs)
     main(args.get("root", "MyData"), args.get("metadata", "MyData/metadata.csv"))

@@ -168,11 +168,20 @@ def test_checkpoint_flow_end_to_end(tmp_path):
     sd = {k: torch.as_tensor(np.asarray(v))
           for k, v in tmodel.hf_state_dict().items()}
     torch.save(sd, tmp_path / "pytorch_model.bin")
+    # heads are not recoverable from shapes — config.json is authoritative
+    import json
 
-    inferred = infer_encoder_config({k: v.numpy() for k, v in sd.items()})
+    (tmp_path / "config.json").write_text(
+        json.dumps({"num_attention_heads": CFG.heads})
+    )
+
+    inferred = infer_encoder_config(
+        {k: v.numpy() for k, v in sd.items()},
+        {"num_attention_heads": CFG.heads},
+    )
     assert (inferred.vocab_size, inferred.hidden, inferred.layers,
-            inferred.intermediate) == (CFG.vocab_size, CFG.hidden,
-                                       CFG.layers, CFG.intermediate)
+            inferred.heads, inferred.intermediate) == (
+        CFG.vocab_size, CFG.hidden, CFG.layers, CFG.heads, CFG.intermediate)
 
     # 2. tokenizer: a hand-built unigram sentencepiece ModelProto
     S = "▁"

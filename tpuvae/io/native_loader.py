@@ -21,16 +21,17 @@ _build_failed = False
 
 
 def _find_lib_path() -> Path:
-    """Shared-library search order: explicit env override, the installed
-    package's ``tpuvae/_native/`` (built by setup.py at wheel-build time),
-    then the source checkout's ``native/`` (built on first use via make)."""
+    """Shared-library search order: explicit env override, the source
+    checkout's ``native/`` (built on first use via make — preferred so
+    edits to native/*.cpp are never shadowed by a stale wheel-build copy
+    in ``tpuvae/_native/``), then the installed package's ``_native/``
+    (populated by setup.py at wheel-build time)."""
     env = os.environ.get("TPUVAE_NATIVE_LIB")
     if env:
         return Path(env)
-    pkg = Path(__file__).resolve().parents[1] / "_native" / "libwavload.so"
-    if pkg.exists():
-        return pkg
-    return _NATIVE_DIR / "libwavload.so"
+    if (_NATIVE_DIR / "wavload.cpp").exists():   # source checkout
+        return _NATIVE_DIR / "libwavload.so"
+    return Path(__file__).resolve().parents[1] / "_native" / "libwavload.so"
 
 
 def _get_lib():

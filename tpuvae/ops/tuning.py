@@ -58,7 +58,14 @@ def _median_digit_bits_default() -> int:
     """
     import os
 
-    return int(os.environ.get("TPUVAE_MEDIAN_BITS", "1"))
+    bits = int(os.environ.get("TPUVAE_MEDIAN_BITS", "1"))
+    if bits not in (1, 2, 4, 8):
+        raise ValueError(
+            f"TPUVAE_MEDIAN_BITS must be one of 1, 2, 4, 8 (got {bits}): "
+            f"each round issues 2**bits - 1 compare+reduce passes, so "
+            f"wider digits explode the unrolled kernel"
+        )
+    return bits
 
 
 def _vote_chunked_default() -> bool:
@@ -123,7 +130,7 @@ def _tuning_body(s, refmax, fmask, binsb, edges, n_frames: int, n_valid: int,
     # passes that pipeline), how many keys fall at or below each.  The
     # scalar counts gate the next round, so rounds — not passes — set the
     # dependency-chain latency; bits=1 is the classic 32-round bisection.
-    assert 32 % median_bits == 0, median_bits
+    assert median_bits in (1, 2, 4, 8), median_bits
     radix = 1 << median_bits
     want = k_lo + 1
     prefix = jnp.uint32(0)

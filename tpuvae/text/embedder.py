@@ -86,7 +86,13 @@ def _encode_with_checkpoint(texts, checkpoint: str, batch_size: int) -> np.ndarr
         weights_only=True,
     )
     sd_np = {k: v.numpy() for k, v in state_dict.items()}
-    cfg = infer_encoder_config(sd_np)  # any XLM-R-family size
+    cfg_json = Path(checkpoint) / "config.json"
+    hf_config = None
+    if cfg_json.exists():
+        import json
+
+        hf_config = json.loads(cfg_json.read_text())
+    cfg = infer_encoder_config(sd_np, hf_config)  # any XLM-R-family size
     variables = convert_hf_state_dict(sd_np, cfg)
     model = SentenceEncoder(cfg)
     encode = jax.jit(lambda ids, mask: model.apply(variables, ids, mask))

@@ -75,14 +75,17 @@ class SentenceEncoder(nn.Module):
         return jnp.sum(x * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1), 1e-9)
 
 
-def infer_encoder_config(state_dict: dict) -> EncoderConfig:
+def infer_encoder_config(state_dict: dict,
+                         hf_config: dict | None = None) -> EncoderConfig:
     """Encoder geometry from a checkpoint's weight shapes.
 
     vocab/hidden/layers/intermediate/max_positions/type_vocab are all
-    determined by shapes; ``heads`` is not recoverable from shapes (the
-    per-head split is a reshape), so the XLM-R family's 64-d head
-    convention is assumed (768 hidden -> 12 heads).  Lets the checkpoint
-    path run any XLM-R-family size, not just the 278 M-param base.
+    determined by shapes.  ``heads`` is NOT recoverable from shapes (the
+    per-head split is a reshape): pass the checkpoint's ``config.json``
+    dict as ``hf_config`` to use its ``num_attention_heads``; without it
+    the XLM-R family's 64-d head convention is assumed (768 hidden ->
+    12 heads).  Lets the checkpoint path run any XLM-R-family size, not
+    just the 278 M-param base.
     """
     import re
 
@@ -99,11 +102,20 @@ def infer_encoder_config(state_dict: dict) -> EncoderConfig:
         for k in state_dict
         if (m := re.search(r"encoder\.layer\.(\d+)\.", k))
     )
+    heads = int((hf_config or {}).get("num_attention_heads", 0)) or max(
+        1, int(hidden) // 64
+    )
+    if hidden % heads:
+        raise ValueError(
+            f"hidden={hidden} not divisible by heads={heads}; supply the "
+            f"checkpoint's config.json (num_attention_heads) next to "
+            f"pytorch_model.bin"
+        )
     return EncoderConfig(
         vocab_size=int(vocab),
         hidden=int(hidden),
         layers=layers,
-        heads=max(1, int(hidden) // 64),
+        heads=heads,
         intermediate=int(g("encoder.layer.0.intermediate.dense.weight").shape[0]),
         max_positions=int(g("embeddings.position_embeddings.weight").shape[0]),
         type_vocab=int(g("embeddings.token_type_embeddings.weight").shape[0]),
