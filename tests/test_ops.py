@@ -299,3 +299,48 @@ def test_fused_tuning_kernel_median_radix_variants(monkeypatch):
         got = np.asarray(estimate_tuning_pallas(sp, 22050, 2048))
         np.testing.assert_array_equal(
             got, want, err_msg=f"chunked vote, bits={bits}")
+
+
+def test_tuning_band_alignment_at_nyquist_fmax():
+    """sr=8000 puts piptrack's fmax at Nyquist: the 8-aligned band overruns
+    the 1025 real rows.  The padded power path must keep its 8-row-aligned
+    DMA (overrun rows are masked), and an unpadded input must clamp onto
+    the sliced path — both bit-matching the staged reference."""
+    import jax
+    import jax.numpy as jnp
+
+    import tpuvae.dsp.chroma as C
+    import tpuvae.dsp.primitives as prim
+    from tpuvae.ops.tuning import _tuning_consts, estimate_tuning_pallas
+
+    sr, n_fft = 8000, 2048
+    lo8, r8, *_ = _tuning_consts(sr, n_fft, n_fft // 2 + 1, 0.01)
+    assert r8 % 8 == 0, "band must stay 8-row-aligned for the DMA kernel"
+    assert lo8 + r8 > n_fft // 2 + 1, "test must exercise the overrun case"
+
+    rng = np.random.default_rng(5)
+    t = np.arange(2 * sr) / sr
+    clips = []
+    for _ in range(2):
+        f0 = 220 * 2 ** rng.uniform(-0.4, 0.4)
+        sig = sum(np.sin(2 * np.pi * f0 * (k + 1) * t + rng.uniform(0, 6))
+                  / (k + 1) for k in range(4))
+        clips.append((sig + 0.05 * rng.normal(size=t.shape)).astype(np.float32))
+    sp = prim.stft_power(jnp.asarray(np.stack(clips)), n_fft, 512)
+    want = np.asarray(jax.vmap(
+        lambda s: C.estimate_tuning_from_power(s, sr, n_fft))(sp))
+
+    # unpadded (B, 1025, T) input -> clamped sliced path
+    got_sliced = np.asarray(estimate_tuning_pallas(sp, sr, n_fft))
+    np.testing.assert_array_equal(got_sliced, want)
+
+    # padded input with extra rows (as the CT kernel emits) -> DMA path;
+    # fill the pad rows with huge garbage to prove they cannot leak in
+    padded = np.pad(np.asarray(sp), ((0, 0), (0, 127), (0, 0)),
+                    constant_values=1e30)
+    nf = sp.shape[2]
+    got_padded = np.asarray(estimate_tuning_pallas(
+        jnp.asarray(padded), sr, n_fft,
+        colmax=jnp.max(sp, axis=1), n_frames=nf,
+    ))
+    np.testing.assert_array_equal(got_padded, want)

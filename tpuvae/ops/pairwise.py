@@ -21,6 +21,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+from tpuvae.ops.stft import _interpret_default, _round_up
+
+
 def _kernel(x_ref, y_ref, out_ref):
     x = x_ref[:]
     y = y_ref[:]
@@ -31,10 +34,6 @@ def _kernel(x_ref, y_ref, out_ref):
     xn = jnp.sum(x * x, axis=1, keepdims=True)
     yn = jnp.sum(y * y, axis=1, keepdims=True)
     out_ref[:] = jnp.maximum(xn + yn.T - 2.0 * cross, 0.0)
-
-
-def _round_up(v: int, m: int) -> int:
-    return -(-v // m) * m
 
 
 @functools.partial(jax.jit, static_argnames=("tile_n", "tile_m", "interpret"))
@@ -67,7 +66,7 @@ def squared_distances_pallas(
     distances-to-zero which are sliced away; zero feature columns are inert).
     """
     if interpret is None:
-        interpret = jax.default_backend() == "cpu"
+        interpret = _interpret_default()   # CPU and GPU both interpret
     if not interpret:
         # Mosaic tiling legality: last dim multiple of 128, 2nd-minor of 8
         tile_n = max(_round_up(tile_n, 8), 8)

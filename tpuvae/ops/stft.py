@@ -70,7 +70,7 @@ def _frames_from_span(span, span_rows: int, ratio: int):
     )
 
 
-def _make_kernel(hop: int, ratio: int, span_rows: int):
+def _make_kernel(ratio: int, span_rows: int):
     def kernel(y_hbm, cos_ref, sin_ref, out_ref, span_ref, frames_ref, sem):
         b = pl.program_id(0)
         fb = pl.program_id(1)
@@ -108,7 +108,7 @@ def _stft_pallas_padded(y_rows, cos_b, sin_b, hop: int, ratio: int,
     span_rows = _round_up(F_BLOCK + ratio - 1, 8)
     grid = (b, n_frames_pad // F_BLOCK, n_bins_pad // K_BLOCK)
     out = pl.pallas_call(
-        _make_kernel(hop, ratio, span_rows),
+        _make_kernel(ratio, span_rows),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),      # waveform rows in HBM

@@ -278,7 +278,7 @@ def _tuning_body(s, refmax, fmask, binsb, edges, n_frames: int, n_valid: int,
     return jnp.where(any_sel, tun, 0.0)
 
 
-def _make_tuning_kernel(n_rows: int, n_frames: int, n_valid: int,
+def _make_tuning_kernel(n_frames: int, n_valid: int,
                         scale: float, bins_per_octave: int, n_bins: int,
                         binw: float, median_bits: int, vote_chunked: bool):
     def kernel(band_ref, refmax_ref, fmask_ref, binsb_ref, edges_ref,
@@ -342,7 +342,7 @@ def _tuning_pallas(band, refmax, fmask, binsb, edges, n_valid: int,
                    binw: float, median_bits: int, vote_chunked: bool,
                    interpret: bool):
     b, r, t = band.shape
-    kernel = _make_tuning_kernel(r, t, n_valid, scale, bins_per_octave,
+    kernel = _make_tuning_kernel(t, n_valid, scale, bins_per_octave,
                                  n_bins, binw, median_bits, vote_chunked)
     const = lambda m: pl.BlockSpec(m.shape, lambda b_: tuple([0] * m.ndim),
                                    memory_space=pltpu.VMEM)
@@ -402,7 +402,17 @@ def _tuning_pallas_from_padded(power, refmax, fmask, binsb, edges, lo8: int,
 
 @functools.lru_cache(maxsize=8)
 def _tuning_consts(sr: int, n_fft: int, n_rows_total: int, resolution: float):
-    """(lo8, r8, fmask (R,1), binsb (R,1), edges (n_bins,1), n_bins, binw)."""
+    """(lo8, r8, fmask (R,1), binsb (R,1), edges (n_bins,1), n_bins, binw).
+
+    ``r8`` is ALWAYS 8-row-aligned (the manual-DMA kernel's VMEM tiling
+    requirement) even when that overruns ``n_rows_total`` — e.g. sr=8000
+    puts PIPTRACK_FMAX at Nyquist so the band reaches the last real row.
+    Overrun rows get ``fmask`` 0: in-mask candidates and their local-max/
+    parabolic margin neighbors all lie strictly inside the real band
+    (piptrack_band reserves one margin row each side), so whatever pad
+    rows the padded power array holds there cannot affect results.
+    Callers whose input lacks those rows clamp and take the sliced path.
+    """
     from tpuvae.dsp.chroma import PIPTRACK_FMAX, PIPTRACK_FMIN, piptrack_band
 
     fmin, fmax = PIPTRACK_FMIN, PIPTRACK_FMAX
@@ -410,10 +420,12 @@ def _tuning_consts(sr: int, n_fft: int, n_rows_total: int, resolution: float):
     freqs = fft_frequencies(sr, n_fft)
     lo8 = (lo // 8) * 8
     r8 = -(-(hi - lo8) // 8) * 8
-    r8 = min(r8, n_rows_total - lo8)
-    band_freqs = freqs[lo8 : lo8 + r8]
-    fmask = ((band_freqs >= fmin) & (band_freqs < fmax)).astype(np.float32)
-    binsb = (lo8 + np.arange(r8)).astype(np.float32)
+    idx = lo8 + np.arange(r8)
+    band_freqs = freqs[np.minimum(idx, n_rows_total - 1)]
+    valid = idx < n_rows_total
+    fmask = ((band_freqs >= fmin) & (band_freqs < fmax)
+             & valid).astype(np.float32)
+    binsb = idx.astype(np.float32)
     n_bins = int(np.ceil(1.0 / resolution))
     edges = np.linspace(-0.5, 0.5, n_bins + 1, dtype=np.float32)
     binw = float(edges[1] - edges[0])
@@ -460,6 +472,13 @@ def estimate_tuning_pallas(
     lo8, r8, fmask, binsb, edges, n_bins, binw = _tuning_consts(
         sr, n_fft, n_rows_real, resolution
     )
+    if lo8 + r8 > n_rows_in:
+        # the 8-aligned band would read past this input (no pad rows to
+        # borrow): clamp to what exists and use the sliced kernel — every
+        # in-mask row and its margin neighbors are still present
+        padded = False
+        r8 = n_rows_in - lo8
+        fmask, binsb = fmask[:r8], binsb[:r8]
     if colmax is not None:
         full_max = colmax[:, None, :].astype(jnp.float32)
     else:
