@@ -344,3 +344,76 @@ def test_tuning_band_alignment_at_nyquist_fmax():
         colmax=jnp.max(sp, axis=1), n_frames=nf,
     ))
     np.testing.assert_array_equal(got_padded, want)
+
+
+def test_autotune_candidates_legal_and_budgeted():
+    from tpuvae.ops import autotune as at
+
+    for n, m, dp in [(1336, 1336, 128), (10240, 10240, 128),
+                     (50, 50, 128), (4096, 4096, 512)]:
+        cands = at.pairwise_tile_candidates(n, m, dp)
+        assert cands, (n, m, dp)
+        for tn, tm in cands:
+            assert tn % 8 == 0 and tm % 128 == 0
+            assert at.pairwise_tile_bytes(tn, tm, dp) <= at.VMEM_BUDGET_BYTES
+        # analytic pick is the roofline-cheapest candidate
+        tn, tm = at.pairwise_tiles_analytic(n, m, dp)
+        assert (tn, tm) in cands
+        best = min(at.pairwise_tile_cost(n, m, dp, a, b) for a, b in cands)
+        assert at.pairwise_tile_cost(n, m, dp, tn, tm) == best
+
+
+def test_pairwise_tile_cost_penalizes_padding():
+    """At N=1336 a 1024-tile pads the matmul to 2048x2048 — the model must
+    prefer a tile with less dead work, while at N=10240 (exact multiples)
+    the larger tile's lower HBM re-streaming should win."""
+    from tpuvae.ops import autotune as at
+
+    c_small = at.pairwise_tile_cost(1336, 1336, 128, 256, 256)
+    c_big = at.pairwise_tile_cost(1336, 1336, 128, 1024, 1024)
+    assert c_small < c_big
+    tn, tm = at.pairwise_tiles_analytic(1336, 1336, 128)
+    assert max(tn, tm) <= 512
+    assert at.pairwise_tiles_analytic(10240, 10240, 128) == (1024, 1024)
+
+
+def test_autotune_measures_once_and_persists(tmp_path, monkeypatch):
+    from tpuvae.ops import autotune as at
+
+    monkeypatch.setenv("TPUVAE_AUTOTUNE_CACHE", str(tmp_path / "tune.json"))
+    at._memo.clear()
+    calls = []
+
+    def run(cfg):
+        calls.append(tuple(cfg))
+        return np.zeros(())
+
+    durations = {(8, 128): 5.0, (8, 256): 1.0, (16, 128): 3.0}
+
+    def timed_run(run, cfg, timer):
+        return durations[tuple(cfg)]
+
+    monkeypatch.setattr(at, "_timed_run", timed_run)
+    got = at.autotune("fake", (100, 200), list(durations), run, repeats=2)
+    assert got == (8, 256)
+    assert len(calls) == len(durations)          # one warmup per candidate
+
+    # a fresh process (memo cleared) must hit the JSON cache, not re-measure
+    at._memo.clear()
+    calls.clear()
+    got2 = at.autotune("fake", (100, 200), list(durations), run, repeats=2)
+    assert got2 == (8, 256) and calls == []
+
+    # same bucket (power-of-two rounding) shares the selection
+    got3 = at.autotune("fake", (70, 140), list(durations), run, repeats=2)
+    assert got3 == (8, 256) and calls == []
+    at._memo.clear()
+
+
+def test_pairwise_auto_tiles_match_explicit():
+    """Default (auto-selected) tiles give the same distances as explicit."""
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(90, 33)).astype(np.float32)
+    got = np.asarray(squared_distances_pallas(x, x))
+    want = np.asarray(squared_distances(jnp.asarray(x), jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)

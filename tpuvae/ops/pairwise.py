@@ -57,25 +57,56 @@ def _pairwise_padded(x, y, tile_n: int, tile_m: int, interpret: bool):
     )(x, y)
 
 
+def _resolve_tiles(n: int, m: int, dp: int, interpret: bool) -> tuple[int, int]:
+    """Pick (tile_n, tile_m): analytic VMEM-fit heuristic by default, or a
+    measured per-shape-bucket selection when TPUVAE_PAIRWISE_AUTOTUNE=1
+    (winner persists to the autotune JSON cache — ops/autotune.py).
+    Interpret mode always takes the analytic path — timing a Python-loop
+    emulation would tune for the wrong machine."""
+    import os
+
+    from tpuvae.ops import autotune as at
+
+    if interpret or os.environ.get("TPUVAE_PAIRWISE_AUTOTUNE") != "1":
+        return at.pairwise_tiles_analytic(n, m, dp)
+    cands = at.pairwise_tile_candidates(n, m, dp)[:6]
+    if len(cands) < 2:
+        return at.pairwise_tiles_analytic(n, m, dp)
+    xs = jnp.zeros((n, dp), jnp.float32)
+    ys = jnp.zeros((m, dp), jnp.float32)
+    return at.autotune(
+        "pairwise", (n, m, dp), cands,
+        lambda cfg: squared_distances_pallas(
+            xs, ys, tile_n=cfg[0], tile_m=cfg[1], interpret=False),
+    )
+
+
 def squared_distances_pallas(
-    x, y, *, tile_n: int = 256, tile_m: int = 256, interpret: bool | None = None
+    x, y, *, tile_n: int | None = None, tile_m: int | None = None,
+    interpret: bool | None = None,
 ) -> jnp.ndarray:
     """(N, D), (M, D) → (N, M) squared distances via the tiled kernel.
 
     Inputs are zero-padded to tile/lane multiples (zero rows produce correct
     distances-to-zero which are sliced away; zero feature columns are inert).
+    ``tile_n``/``tile_m`` default to an automatic per-shape selection
+    (``_resolve_tiles``); explicit values are rounded to Mosaic legality.
     """
     if interpret is None:
         interpret = _interpret_default()   # CPU and GPU both interpret
-    if not interpret:
-        # Mosaic tiling legality: last dim multiple of 128, 2nd-minor of 8
-        tile_n = max(_round_up(tile_n, 8), 8)
-        tile_m = max(_round_up(tile_m, 128), 128)
     x = jnp.asarray(x, jnp.float32)
     y = jnp.asarray(y, jnp.float32)
     n, d = x.shape
     m = y.shape[0]
     dp = _round_up(d, 128)
+    if tile_n is None or tile_m is None:
+        auto_n, auto_m = _resolve_tiles(n, m, dp, interpret)
+        tile_n = auto_n if tile_n is None else tile_n
+        tile_m = auto_m if tile_m is None else tile_m
+    if not interpret:
+        # Mosaic tiling legality: last dim multiple of 128, 2nd-minor of 8
+        tile_n = max(_round_up(tile_n, 8), 8)
+        tile_m = max(_round_up(tile_m, 128), 128)
     np_ = _round_up(n, tile_n)
     mp = _round_up(m, tile_m)
     xp = jnp.pad(x, ((0, np_ - n), (0, dp - d)))
