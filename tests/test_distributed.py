@@ -300,3 +300,61 @@ def test_dp_epoch_compute_and_memory_stay_sharded():
     # and it actually runs: one epoch, finite global loss
     new_state, loss, _ = epoch(state, key, placed)
     assert np.isfinite(float(loss))
+
+
+def test_maybe_init_distributed_gate(monkeypatch):
+    """Off by default; on, it forwards the explicit coordinator env config."""
+    import tpuvae.parallel.mesh as M
+
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda **kw: calls.append(kw))
+    monkeypatch.setattr(jax.distributed, "is_initialized", lambda: False)
+
+    monkeypatch.delenv("TPUVAE_DISTRIBUTED", raising=False)
+    assert M.maybe_init_distributed() is False and calls == []
+
+    monkeypatch.setenv("TPUVAE_DISTRIBUTED", "1")
+    monkeypatch.setenv("TPUVAE_COORDINATOR", "localhost:9911")
+    monkeypatch.setenv("TPUVAE_NUM_PROCESSES", "4")
+    monkeypatch.setenv("TPUVAE_PROCESS_ID", "2")
+    assert M.maybe_init_distributed() is True
+    assert calls == [dict(coordinator_address="localhost:9911",
+                          num_processes=4, process_id=2)]
+
+    # idempotent once the runtime reports initialized
+    monkeypatch.setattr(jax.distributed, "is_initialized", lambda: True)
+    assert M.maybe_init_distributed() is False and len(calls) == 1
+
+
+def test_maybe_init_distributed_real_single_process():
+    """Actually bring up the distributed runtime (1-process coordinator) in
+    a subprocess — the multi-host entry point must work, not just be gated."""
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    ROOT = Path(__file__).resolve().parents[1]
+    code = (
+        "from tpuvae.parallel.mesh import maybe_init_distributed\n"
+        "import jax\n"
+        "assert maybe_init_distributed() is True\n"
+        "assert jax.distributed.is_initialized()\n"
+        "assert jax.process_count() == 1\n"
+        "assert maybe_init_distributed() is False  # idempotent\n"
+        "from tpuvae.parallel.mesh import make_mesh\n"
+        "print('OK', make_mesh().shape)\n"
+    )
+    env = dict(
+        os.environ, TPUVAE_DISTRIBUTED="1",
+        TPUVAE_COORDINATOR="localhost:9876", TPUVAE_NUM_PROCESSES="1",
+        TPUVAE_PROCESS_ID="0", JAX_PLATFORMS="cpu", PYTHONPATH=str(ROOT),
+        XLA_FLAGS="--xla_force_host_platform_device_count=4",
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], env=env, capture_output=True,
+        text=True, timeout=180,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "OK" in out.stdout

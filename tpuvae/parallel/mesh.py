@@ -27,10 +27,32 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def maybe_init_distributed() -> None:
-    """Initialise multi-host JAX when launched under a pod scheduler."""
-    if os.environ.get("TPUVAE_DISTRIBUTED", "0") == "1":
-        jax.distributed.initialize()
+def maybe_init_distributed() -> bool:
+    """Initialise multi-host JAX when ``TPUVAE_DISTRIBUTED=1``.
+
+    Under a pod scheduler (GKE/Slurm/TPU pod) ``jax.distributed.initialize``
+    auto-detects the cluster. Elsewhere (e.g. a hand-launched CPU/GPU
+    cluster) pass the coordinator explicitly via::
+
+        TPUVAE_COORDINATOR=host:port  TPUVAE_NUM_PROCESSES=N  TPUVAE_PROCESS_ID=i
+
+    Idempotent: repeated calls after a successful init are no-ops (JAX
+    raises on double-initialize). Returns True when initialisation ran.
+    """
+    if os.environ.get("TPUVAE_DISTRIBUTED", "0") != "1":
+        return False
+    if jax.distributed.is_initialized():  # already up
+        return False
+    kwargs = {}
+    coord = os.environ.get("TPUVAE_COORDINATOR")
+    if coord:
+        kwargs = dict(
+            coordinator_address=coord,
+            num_processes=int(os.environ.get("TPUVAE_NUM_PROCESSES", "1")),
+            process_id=int(os.environ.get("TPUVAE_PROCESS_ID", "0")),
+        )
+    jax.distributed.initialize(**kwargs)
+    return True
 
 
 def make_mesh(
