@@ -8,9 +8,18 @@ top to bottom" workflow (``README.md:56-87``) with subcommands:
   python -m tpuvae.cli train-cvae            [--key=value ...]
   python -m tpuvae.cli train-hybrid          [--key=value ...]
   python -m tpuvae.cli all                   # full end-to-end sweep
+  python -m tpuvae.cli encode --arch=hybrid song.wav [song2.wav ...]
   python -m tpuvae.cli eda                   # exploratory-analysis report
   python -m tpuvae.cli parity                # run sweep twice, diff metrics
   python -m tpuvae.cli report                # print consolidated CSV
+
+``encode`` maps NEW audio clips through a trained model to latents +
+nearest-training-centroid cluster ids (serving bundle from a prior
+``train-*`` run).  Flags: ``--arch=simple|cvae|hybrid``, ``--results_dir``,
+``--data_dir`` (preprocessing dir with the scalers), ``--lyrics=<text>``
+(applied to every clip) or ``--lyrics_file=<path>`` (one line per clip),
+``--genres=g1,g2,…`` (cvae condition), ``--out=<file.npz>`` to save
+latents/clusters.
 
 Global flags: ``--debug-nans`` enables jax debug-NaN checking for the run.
 
@@ -185,6 +194,50 @@ def _dispatch(argv) -> int:
 
             df = run_hybrid_vae(data2, results, build_cfg(HybridVAEConfig))
             print(df.to_string(index=False))
+        return 0
+
+    if cmd == "encode":
+        from pathlib import Path
+
+        import numpy as np
+
+        from tpuvae.infer import ClipEncoder
+
+        opts = {"arch", "results_dir", "data_dir", "lyrics", "lyrics_file",
+                "genres", "out", "batch_size"}
+        paths, eopts = [], {}
+        for a in rest:
+            if a.startswith("-"):
+                key, _, value = a.lstrip("-").partition("=")
+                if key not in opts:
+                    raise KeyError(f"encode has no flag {key!r} "
+                                   f"(known: {sorted(opts)})")
+                eopts[key] = value
+            else:
+                paths.append(a)
+        if not paths:
+            raise ValueError("encode needs at least one audio file")
+        enc = ClipEncoder.load(
+            eopts.get("arch", "hybrid"),
+            results_dir=eopts.get("results_dir", "results"),
+            data_dir=eopts.get("data_dir"),
+        )
+        lyrics = None
+        if "lyrics_file" in eopts:
+            lyrics = Path(eopts["lyrics_file"]).read_text().splitlines()
+        elif "lyrics" in eopts:
+            lyrics = [eopts["lyrics"]] * len(paths)
+        genres = eopts["genres"].split(",") if "genres" in eopts else None
+        res = enc.encode_paths(
+            paths, lyrics=lyrics, genres=genres,
+            batch_size=int(eopts.get("batch_size", 32)),
+        )
+        for p, c in zip(res.paths, res.clusters):
+            print(f"{p}\tcluster={int(c)}")
+        if "out" in eopts:
+            np.savez(eopts["out"], latents=res.latents,
+                     clusters=res.clusters, paths=np.asarray(res.paths))
+            print(f"latents saved to {eopts['out']}")
         return 0
 
     if cmd == "eda":

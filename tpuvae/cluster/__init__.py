@@ -1,4 +1,8 @@
-from tpuvae.cluster.kmeans import kmeans, KMeansResult  # noqa: F401
+from tpuvae.cluster.kmeans import (  # noqa: F401
+    KMeansResult,
+    centers_from_labels,
+    kmeans,
+)
 from tpuvae.cluster.agglomerative import (  # noqa: F401
     agglomerative,
     ward_linkage,

@@ -149,6 +149,19 @@ def kmeans(
     )
 
 
+def centers_from_labels(x, labels) -> np.ndarray:
+    """Per-cluster means of a final partition, ordered by label id.
+
+    For converged K-Means labels these are exactly the Lloyd centroids;
+    used to persist serving centroids for sweep winners (sweeps keep only
+    labels). Noise points (label -1, DBSCAN) are excluded.
+    """
+    x = np.asarray(x, np.float32)
+    labels = np.asarray(labels)
+    ids = np.unique(labels[labels >= 0])
+    return np.stack([x[labels == i].mean(axis=0) for i in ids])
+
+
 # -----------------------------------------------------------------------------
 # Dynamic-k variant: ONE compiled program serves a whole K-sweep
 # -----------------------------------------------------------------------------

@@ -1,0 +1,241 @@
+"""Serving: encode NEW clips with a trained model and assign clusters.
+
+The reference has no inference story — its five scripts end at CSVs and
+plots, and only the Simple VAE even saves weights (``Simple_VAE.py:204-207``).
+This module is the framework's production extension: load the serving bundle
+a training pipeline persisted (``results/<Arch>/serving/`` — final weights,
+K-Means centroids, model-rebuild metadata) together with the preprocessing
+normalizers (``processed_data*/{scaler,imputer,mel_scaler,config}.pkl``),
+then map raw audio files (+ lyrics for the multimodal models) to latent
+vectors and nearest-centroid cluster ids, batched on device.
+
+Usage::
+
+    enc = ClipEncoder.load("hybrid", results_dir="results",
+                           data_dir="processed_data2")
+    out = enc.encode_paths(["new_song.wav"], lyrics=["la la la"])
+    out.latents   # (1, 128)
+    out.clusters  # (1,) int — nearest training centroid
+
+or ``python -m tpuvae.cli encode --arch=hybrid song.wav``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import pickle
+import warnings
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpuvae.config import AdvancedPreprocessConfig, PreprocessConfig
+from tpuvae.io import load_audio
+from tpuvae.train.checkpoint import load_checkpoint
+
+_ARCH_DIRS = {
+    "simple": ("Simple_VAE", "processed_data1"),
+    "cvae": ("Conditional_VAE", "processed_data2"),
+    "hybrid": ("Convolutional_VAE", "processed_data2"),
+}
+
+
+@dataclasses.dataclass
+class EncodeResult:
+    latents: np.ndarray    # (N, latent_dim) encoder means
+    clusters: np.ndarray   # (N,) nearest training centroid (-1 if none saved)
+    paths: list[str]
+
+
+def _load_pickle(path: Path):
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def _nearest_center(latents: np.ndarray, centers: np.ndarray | None):
+    if centers is None or len(centers) == 0:
+        return np.full((len(latents),), -1, np.int32)
+    d2 = ((latents[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
+    return np.argmin(d2, axis=1).astype(np.int32)
+
+
+@dataclasses.dataclass
+class ClipEncoder:
+    """A trained model + its preprocessing state, ready to encode new clips."""
+
+    arch: str
+    meta: dict
+    apply_latent: callable          # device fn: model inputs -> (B, L) mu
+    pre_cfg: object                 # Preprocess(Advanced)Config of training
+    centers: np.ndarray | None
+    _extract: callable              # jit extractor: (B, T) waveforms -> feats
+    _normalize: callable            # host fn: raw features -> model input
+    _embed_backend: str | None = None
+
+    # -- construction ------------------------------------------------------
+
+    @classmethod
+    def load(cls, arch: str, results_dir: str = "results",
+             data_dir: str | None = None) -> "ClipEncoder":
+        """Load the serving bundle written by the training pipeline.
+
+        ``data_dir`` defaults to the conventional preprocessing output dir
+        for the architecture (``processed_data1``/``processed_data2``).
+        """
+        if arch not in _ARCH_DIRS:
+            raise ValueError(f"arch must be one of {sorted(_ARCH_DIRS)}, "
+                             f"got {arch!r}")
+        subdir, default_data = _ARCH_DIRS[arch]
+        data = Path(data_dir or default_data)
+        serving = Path(results_dir) / subdir / "serving"
+        if not (serving / "model").exists():
+            raise FileNotFoundError(
+                f"no serving bundle at {serving}/model — run the "
+                f"train-{arch} pipeline first (it persists final weights + "
+                f"centroids there)"
+            )
+        params, batch_stats, meta = load_checkpoint(serving / "model")
+        centers_path = serving / "kmeans_centers.npy"
+        centers = np.load(centers_path) if centers_path.exists() else None
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+
+        cfg_dict = dict(_load_pickle(data / "config.pkl"))
+        embed_backend = cfg_dict.pop("lyrics_embedder_backend", None)
+
+        if arch == "simple":
+            from tpuvae.dsp import extract_basic_features, jit_extractor
+            from tpuvae.models import SimpleVAE
+
+            pre_cfg = PreprocessConfig.from_dict(cfg_dict)
+            scaler = _load_pickle(data / "scaler.pkl")
+            imputer = _load_pickle(data / "imputer.pkl")
+            model = SimpleVAE(
+                input_dim=meta["input_dim"],
+                hidden_dims=tuple(meta["hidden_dims"]),
+                latent_dim=meta["latent_dim"], dropout=meta["dropout"],
+            )
+            apply_latent = jax.jit(lambda x: model.apply(
+                variables, x, method=SimpleVAE.latent))
+
+            def normalize(feats):
+                return scaler.transform(
+                    imputer.transform(feats)).astype(np.float32)
+
+            extract = jit_extractor(extract_basic_features, pre_cfg)
+        else:
+            from tpuvae.dsp import extract_mel_image, jit_extractor
+
+            pre_cfg = AdvancedPreprocessConfig.from_dict(cfg_dict)
+            mel_scaler = _load_pickle(data / "mel_scaler.pkl")
+
+            def normalize(mels):
+                n = mels.shape[0]
+                flat = mel_scaler.transform(mels.reshape(n, -1))
+                return flat.reshape(mels.shape).astype(np.float32)[..., None]
+
+            if arch == "hybrid":
+                from tpuvae.models import HybridVAE
+
+                model = HybridVAE(
+                    latent_dim=meta["latent_dim"], text_dim=meta["text_dim"],
+                    input_hw=tuple(meta["input_hw"]),
+                    dtype=jnp.dtype(meta.get("compute_dtype", "float32")),
+                )
+                apply_latent = jax.jit(lambda a, t: model.apply(
+                    variables, a, t, method=HybridVAE.latent))
+            else:
+                from tpuvae.models import ConditionalVAE
+
+                model = ConditionalVAE(
+                    latent_dim=meta["latent_dim"], text_dim=meta["text_dim"],
+                    num_classes=meta["num_classes"],
+                    input_hw=tuple(meta["input_hw"]),
+                    dtype=jnp.dtype(meta.get("compute_dtype", "float32")),
+                )
+                apply_latent = jax.jit(lambda a, t, c: model.apply(
+                    variables, a, t, c, method=ConditionalVAE.latent))
+            extract = jit_extractor(extract_mel_image, pre_cfg)
+
+        return cls(arch=arch, meta=meta, apply_latent=apply_latent,
+                   pre_cfg=pre_cfg, centers=centers, _extract=extract,
+                   _normalize=normalize, _embed_backend=embed_backend)
+
+    # -- encoding ----------------------------------------------------------
+
+    def _embed_texts(self, lyrics, n: int) -> np.ndarray:
+        from tpuvae.text import embed_lyrics
+
+        if lyrics is None:
+            lyrics = [" "] * n          # ref coerces empty lyrics to ' '
+        if len(lyrics) != n:
+            raise ValueError(f"got {len(lyrics)} lyrics for {n} clips")
+        emb, backend = embed_lyrics(list(lyrics))
+        if self._embed_backend and backend != self._embed_backend:
+            warnings.warn(
+                f"lyrics embedder backend {backend!r} differs from the one "
+                f"used at training time ({self._embed_backend!r}) — latents "
+                f"will not be comparable (set TPUVAE_TEXT_CHECKPOINT to "
+                f"match)", stacklevel=3)
+        return emb.astype(np.float32)
+
+    def _condition(self, genres, n: int) -> np.ndarray:
+        names = list(self.meta.get("genre_names", []))
+        cond = np.zeros((n, self.meta["num_classes"]), np.float32)
+        if genres is None:
+            return cond                 # marginal (all-zero) condition
+        if len(genres) != n:
+            raise ValueError(f"got {len(genres)} genres for {n} clips")
+        for i, g in enumerate(genres):
+            if g is None:
+                continue
+            if g not in names:
+                raise ValueError(f"unknown genre {g!r}; training genres: "
+                                 f"{names}")
+            cond[i, names.index(g)] = 1.0
+        return cond
+
+    def encode_waveforms(self, waveforms: np.ndarray, lyrics=None,
+                         genres=None, batch_size: int = 32) -> EncodeResult:
+        """Encode pre-loaded ``(N, num_samples)`` float32 waveforms."""
+        n = waveforms.shape[0]
+        feats = []
+        for i in range(0, n, batch_size):
+            chunk = np.asarray(waveforms[i:i + batch_size], np.float32)
+            feats.append(np.asarray(self._extract(jnp.asarray(chunk))))
+        raw = np.concatenate(feats)
+
+        if self.arch == "simple":
+            inputs = (self._normalize(raw),)
+        else:
+            audio = self._normalize(raw)
+            text = self._embed_texts(lyrics, n)
+            inputs = (audio, text)
+            if self.arch == "cvae":
+                inputs += (self._condition(genres, n),)
+        # batched encoder-mean pass (whole-tensor encode is the reference's
+        # peak-memory hazard, Conditional_VAE.py:398-402)
+        mus = []
+        for i in range(0, n, batch_size):
+            chunk = [jnp.asarray(a[i:i + batch_size]) for a in inputs]
+            mus.append(np.asarray(self.apply_latent(*chunk)))
+        mu = np.concatenate(mus).astype(np.float32)
+        return EncodeResult(latents=mu,
+                            clusters=_nearest_center(mu, self.centers),
+                            paths=[])
+
+    def encode_paths(self, paths, lyrics=None, genres=None,
+                     batch_size: int = 32) -> EncodeResult:
+        """Decode audio files host-side, then :meth:`encode_waveforms`."""
+        paths = [str(p) for p in paths]
+        waves = np.stack([
+            load_audio(p, self.pre_cfg.sample_rate, self.pre_cfg.duration)
+            for p in paths
+        ])
+        res = self.encode_waveforms(waves, lyrics=lyrics, genres=genres,
+                                    batch_size=batch_size)
+        return EncodeResult(latents=res.latents, clusters=res.clusters,
+                            paths=paths)

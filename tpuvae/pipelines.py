@@ -450,6 +450,27 @@ def _batched_latents(apply_latent, arrays, batch_size: int = 32) -> np.ndarray:
     return np.concatenate(outs)
 
 
+def _save_serving(results_dir: str, arch_subdir: str, state, *,
+                  centers: np.ndarray, meta: dict,
+                  logger: RunLogger | None = None) -> None:
+    """Persist the serving bundle: final weights + cluster centroids + the
+    model-rebuild metadata ``tpuvae.infer.ClipEncoder`` needs.
+
+    This is a framework extension — the reference has no inference story at
+    all (its scripts end at CSVs/plots; only Simple saves weights,
+    ``Simple_VAE.py:204-207``). The reference artifact contract is untouched;
+    everything serving-related lives under ``<arch>/serving/``.
+    """
+    from pathlib import Path
+
+    out = Path(results_dir) / arch_subdir / "serving"
+    save_checkpoint(out / "model", state.params, state.batch_stats, meta)
+    np.save(out / "kmeans_centers.npy", np.asarray(centers, np.float32))
+    if logger:
+        logger.log("serving_saved", dir=str(out),
+                   n_centers=int(len(centers)))
+
+
 def _ckpt_kwargs(cfg, default_dir: str) -> dict:
     """FitConfig checkpoint kwargs from a model config: durable rotating
     mid-train checkpoints when ``checkpoint_every > 0`` (off by default —
@@ -518,6 +539,19 @@ def run_simple_vae(
     vae_sil = float(silhouette_from_distances(self_distances(xl),
                                               jnp.asarray(lab), k))
     vae_ch = float(calinski_harabasz_score(xl, jnp.asarray(lab), k))
+
+    from tpuvae.cluster import centers_from_labels
+
+    _save_serving(
+        results_dir, "Simple_VAE", res.state,
+        centers=centers_from_labels(latents, vae_clusters),
+        meta={"arch": "simple", "best_epoch": res.best_epoch,
+              "best_k": best_k, "input_dim": int(input_dim),
+              "hidden_dims": list(cfg.hidden_dims),
+              "latent_dim": cfg.latent_dim, "dropout": cfg.dropout,
+              "data_dir": str(data_dir)},
+        logger=logger,
+    )
 
     # PCA(latent_dim)+KMeans baseline (ref :258-263)
     pca_feats = pca_transform(features, cfg.latent_dim)
@@ -603,6 +637,19 @@ def run_conditional_vae(
         (mel, text, cond), cfg.batch_size,
     )
 
+    km_cvae = kmeans(z_cvae, n_classes, n_init=ccfg.kmeans_n_init,
+                     seed=ccfg.seed)
+    _save_serving(
+        results_dir, "Conditional_VAE", res.state, centers=km_cvae.centers,
+        meta={"arch": "cvae", "latent_dim": cfg.latent_dim,
+              "text_dim": int(text.shape[1]), "num_classes": int(n_classes),
+              "input_hw": [int(mel.shape[1]), int(mel.shape[2])],
+              "compute_dtype": str(cfg.compute_dtype),
+              "genre_names": [str(g) for g in genre_names],
+              "data_dir": str(data_dir)},
+        logger=logger,
+    )
+
     results = []
     m = evaluate_clustering(z_cvae, y_genre, n_classes, ccfg.seed)
     m["Method"] = "CVAE (Multi-Modal)"
@@ -652,9 +699,8 @@ def run_conditional_vae(
         xy = tsne(z_cvae, perplexity=ccfg.tsne_perplexity, seed=ccfg.seed)
         tsne_by_genre(xy, y_genre, genre_names,
                       f"{results_dir}/Conditional_VAE/cvae_latent_tsne_genre.png")
-        km = kmeans(z_cvae, n_classes, n_init=ccfg.kmeans_n_init, seed=ccfg.seed)
         cluster_language_bar(
-            km.labels, y_lang, lang_names,
+            km_cvae.labels, y_lang, lang_names,
             f"{results_dir}/Conditional_VAE/cluster_lang_distribution.png",
         )
     return df
@@ -734,7 +780,19 @@ def run_hybrid_vae(
     logger.log("sweeps", kmeans_k=km_sweep.best_param,
                agg_k=agg_sweep.best_param, dbscan_eps=db_sweep.best_param)
 
+    from tpuvae.cluster import centers_from_labels
+
     best_k = int(km_sweep.best_param)
+    _save_serving(
+        results_dir, "Convolutional_VAE", res.state,
+        centers=centers_from_labels(latents, km_sweep.best_labels),
+        meta={"arch": "hybrid", "latent_dim": cfg.latent_dim,
+              "text_dim": int(text.shape[1]),
+              "input_hw": [int(mel.shape[1]), int(mel.shape[2])],
+              "compute_dtype": str(cfg.compute_dtype), "best_k": best_k,
+              "data_dir": str(data_dir)},
+        logger=logger,
+    )
     lang_km = kmeans(latents, 2, n_init=ccfg.kmeans_n_init, seed=ccfg.seed)
     algos = {
         f"K-Means-Main (k={best_k})": km_sweep.best_labels,
