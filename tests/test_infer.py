@@ -117,6 +117,7 @@ def test_hybrid_encoder_matches_saved_latents(served):
     np.testing.assert_allclose(out.latents, saved[:5], rtol=1e-3, atol=1e-3)
     # nearest-centroid ids agree with re-assigning the saved latents
     d2 = ((saved[:5, None, :] - enc.centers[None]) ** 2).sum(-1)
+    d2 = np.where(np.isnan(d2), np.inf, d2)   # empty-slot rows
     np.testing.assert_array_equal(out.clusters, d2.argmin(1))
 
 
@@ -130,13 +131,61 @@ def test_cvae_encoder_conditioning(served):
     out = enc.encode_paths(paths, lyrics=lyrics, genres=genres)
     assert out.latents.shape == (4, enc.meta["latent_dim"])
     assert (out.clusters >= 0).all()
-    # marginal (genre-free) conditioning also works, gives different latents
-    out2 = enc.encode_paths(paths, lyrics=lyrics)
+    # marginal (genre-free) conditioning works but warns (all-zero condition
+    # is out-of-distribution for the encoder)
+    with pytest.warns(UserWarning, match="all-zero condition"):
+        out2 = enc.encode_paths(paths, lyrics=lyrics)
     assert out2.latents.shape == out.latents.shape
     with pytest.raises(ValueError, match="unknown genre"):
         enc.encode_paths(paths[:1], lyrics=lyrics[:1], genres=["polka"])
     with pytest.raises(ValueError, match="lyrics"):
         enc.encode_paths(paths[:2], lyrics=lyrics[:1])
+
+
+def test_modality_args_rejected_per_arch(served):
+    """Arguments an architecture cannot consume are an error, never silently
+    dropped."""
+    from tpuvae.infer import ClipEncoder
+
+    _, paths, lyrics = _training_paths(served, "processed_data1", 1)
+    enc = ClipEncoder.load("simple", results_dir=str(served / "results"),
+                           data_dir=str(served / "processed_data1"))
+    with pytest.raises(ValueError, match="neither lyrics nor genres"):
+        enc.encode_paths(paths, lyrics=["la"])
+    hyb = ClipEncoder.load("hybrid", results_dir=str(served / "results"),
+                           data_dir=str(served / "processed_data2"))
+    with pytest.raises(ValueError, match="unconditioned"):
+        hyb.encode_paths(paths, lyrics=["la"], genres=["rock"])
+
+
+def test_load_defaults_to_training_data_dir(served):
+    """With no data_dir argument, load() uses the preprocessing dir recorded
+    in the serving metadata (the scalers the model was trained with)."""
+    from tpuvae.infer import ClipEncoder
+
+    enc = ClipEncoder.load("simple", results_dir=str(served / "results"))
+    assert Path(enc.meta["data_dir"]) == served / "processed_data1"
+    _, paths, _ = _training_paths(served, "processed_data1", 2)
+    out = enc.encode_paths(paths)
+    assert out.latents.shape == (2, 32)
+
+
+def test_centers_from_labels_keeps_label_ids():
+    """Row i is the centroid of label i even when a slot is empty; empty
+    rows are NaN and never win the nearest-centroid assignment."""
+    from tpuvae.cluster import centers_from_labels
+    from tpuvae.infer import _nearest_center
+
+    x = np.array([[0.0, 0], [0, 0], [10, 10], [20, 20], [-5, -5]], np.float32)
+    labels = np.array([0, 0, 1, 3, -1])      # slot 2 empty, one noise point
+    centers = centers_from_labels(x, labels)
+    assert centers.shape == (4, 2)
+    assert np.isnan(centers[2]).all()
+    np.testing.assert_allclose(centers[3], [20, 20])
+    got = _nearest_center(np.array([[19.0, 19], [1, 1]], np.float32), centers)
+    np.testing.assert_array_equal(got, [3, 0])
+    with pytest.raises(ValueError, match="no non-noise"):
+        centers_from_labels(x, np.full(5, -1))
 
 
 def test_missing_bundle_raises(served, tmp_path):
@@ -165,6 +214,14 @@ def test_cli_encode(served, tmp_path, capsys):
     z = np.load(out_npz, allow_pickle=False)
     assert z["latents"].shape == (2, 32)
     assert z["clusters"].shape == (2,)
-    # unknown flags and empty path lists are argument errors (rc 2)
+    # unknown flags, valueless flags, and empty path lists are argument
+    # errors (rc 2)
     assert cli.main(["encode", "--bogus=1", "x.wav"]) == 2
     assert cli.main(["encode", "--arch=simple"]) == 2
+    assert cli.main(["encode", "--out", "x.wav"]) == 2
+    # '--' ends flag parsing so dash-prefixed paths pass through
+    rc = cli.main([
+        "encode", "--arch=simple", f"--results_dir={served / 'results'}",
+        f"--data_dir={served / 'processed_data1'}", "--", str(paths[0]),
+    ])
+    assert rc == 0

@@ -206,12 +206,17 @@ def _dispatch(argv) -> int:
         opts = {"arch", "results_dir", "data_dir", "lyrics", "lyrics_file",
                 "genres", "out", "batch_size"}
         paths, eopts = [], {}
+        flags_done = False
         for a in rest:
-            if a.startswith("-"):
-                key, _, value = a.lstrip("-").partition("=")
+            if a == "--":               # conventional end-of-flags marker
+                flags_done = True
+            elif not flags_done and a.startswith("-"):
+                key, sep, value = a.lstrip("-").partition("=")
                 if key not in opts:
                     raise KeyError(f"encode has no flag {key!r} "
                                    f"(known: {sorted(opts)})")
+                if not sep:
+                    raise ValueError(f"--{key} needs a value: --{key}=...")
                 eopts[key] = value
             else:
                 paths.append(a)

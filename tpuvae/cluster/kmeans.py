@@ -150,16 +150,23 @@ def kmeans(
 
 
 def centers_from_labels(x, labels) -> np.ndarray:
-    """Per-cluster means of a final partition, ordered by label id.
-
-    For converged K-Means labels these are exactly the Lloyd centroids;
-    used to persist serving centroids for sweep winners (sweeps keep only
-    labels). Noise points (label -1, DBSCAN) are excluded.
+    """Per-cluster means of a final partition, INDEXED by label id: row ``i``
+    is the centroid of label ``i``, so serving cluster ids stay aligned with
+    the training partition's ids even when some label slot ended up empty
+    (k-means reseeding / sweeps.py allow empty slots).  Empty rows are NaN —
+    ``tpuvae.infer`` treats them as unreachable.  For converged K-Means
+    labels the populated rows are exactly the Lloyd centroids.  Noise points
+    (label -1, DBSCAN) are excluded.
     """
     x = np.asarray(x, np.float32)
     labels = np.asarray(labels)
     ids = np.unique(labels[labels >= 0])
-    return np.stack([x[labels == i].mean(axis=0) for i in ids])
+    if ids.size == 0:
+        raise ValueError("no non-noise labels — cannot form centroids")
+    out = np.full((int(ids.max()) + 1, x.shape[1]), np.nan, np.float32)
+    for i in ids:
+        out[i] = x[labels == i].mean(axis=0)
+    return out
 
 
 # -----------------------------------------------------------------------------

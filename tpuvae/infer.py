@@ -34,6 +34,7 @@ import numpy as np
 from tpuvae.config import AdvancedPreprocessConfig, PreprocessConfig
 from tpuvae.io import load_audio
 from tpuvae.train.checkpoint import load_checkpoint
+from tpuvae.utils.batching import batched_apply
 
 _ARCH_DIRS = {
     "simple": ("Simple_VAE", "processed_data1"),
@@ -58,6 +59,9 @@ def _nearest_center(latents: np.ndarray, centers: np.ndarray | None):
     if centers is None or len(centers) == 0:
         return np.full((len(latents),), -1, np.int32)
     d2 = ((latents[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
+    # NaN rows mark label ids whose cluster was empty at training time
+    # (centers_from_labels keeps row i == label i) — never the nearest
+    d2 = np.where(np.isnan(d2), np.inf, d2)
     return np.argmin(d2, axis=1).astype(np.int32)
 
 
@@ -81,14 +85,15 @@ class ClipEncoder:
              data_dir: str | None = None) -> "ClipEncoder":
         """Load the serving bundle written by the training pipeline.
 
-        ``data_dir`` defaults to the conventional preprocessing output dir
-        for the architecture (``processed_data1``/``processed_data2``).
+        ``data_dir`` defaults to the preprocessing dir recorded in the
+        bundle's metadata (what the model was actually trained from), then
+        to the conventional output dir for the architecture
+        (``processed_data1``/``processed_data2``).
         """
         if arch not in _ARCH_DIRS:
             raise ValueError(f"arch must be one of {sorted(_ARCH_DIRS)}, "
                              f"got {arch!r}")
         subdir, default_data = _ARCH_DIRS[arch]
-        data = Path(data_dir or default_data)
         serving = Path(results_dir) / subdir / "serving"
         if not (serving / "model").exists():
             raise FileNotFoundError(
@@ -97,6 +102,19 @@ class ClipEncoder:
                 f"centroids there)"
             )
         params, batch_stats, meta = load_checkpoint(serving / "model")
+        if data_dir is None:
+            trained_from = meta.get("data_dir")
+            if trained_from and Path(trained_from, "config.pkl").exists():
+                data = Path(trained_from)
+            else:
+                if trained_from:
+                    warnings.warn(
+                        f"training-time data dir {trained_from!r} no longer "
+                        f"exists; falling back to {default_data!r} — pass "
+                        f"data_dir= if its scalers differ", stacklevel=2)
+                data = Path(default_data)
+        else:
+            data = Path(data_dir)
         centers_path = serving / "kmeans_centers.npy"
         centers = np.load(centers_path) if centers_path.exists() else None
         variables = {"params": params}
@@ -201,12 +219,19 @@ class ClipEncoder:
     def encode_waveforms(self, waveforms: np.ndarray, lyrics=None,
                          genres=None, batch_size: int = 32) -> EncodeResult:
         """Encode pre-loaded ``(N, num_samples)`` float32 waveforms."""
+        if self.arch == "simple" and (lyrics is not None or genres is not None):
+            raise ValueError("the simple arch uses neither lyrics nor genres"
+                             " — they would be silently dropped")
+        if self.arch == "hybrid" and genres is not None:
+            raise ValueError("the hybrid arch is unconditioned — genres "
+                             "would be silently dropped (use arch='cvae')")
         n = waveforms.shape[0]
-        feats = []
-        for i in range(0, n, batch_size):
-            chunk = np.asarray(waveforms[i:i + batch_size], np.float32)
-            feats.append(np.asarray(self._extract(jnp.asarray(chunk))))
-        raw = np.concatenate(feats)
+        waveforms = np.asarray(waveforms, np.float32)
+        # fixed-shape batches both passes: the ragged final chunk is padded
+        # so each geometry compiles ONE executable (remote TPU compiles cost
+        # minutes), and whole-tensor encode is the reference's peak-memory
+        # hazard (Conditional_VAE.py:398-402)
+        raw = batched_apply(self._extract, (waveforms,), batch_size)
 
         if self.arch == "simple":
             inputs = (self._normalize(raw),)
@@ -215,14 +240,15 @@ class ClipEncoder:
             text = self._embed_texts(lyrics, n)
             inputs = (audio, text)
             if self.arch == "cvae":
+                if genres is None:
+                    warnings.warn(
+                        "cvae encoding without genres uses an all-zero "
+                        "condition the model never saw in training — "
+                        "cluster assignments may be unreliable; pass "
+                        "genres= for in-distribution latents", stacklevel=2)
                 inputs += (self._condition(genres, n),)
-        # batched encoder-mean pass (whole-tensor encode is the reference's
-        # peak-memory hazard, Conditional_VAE.py:398-402)
-        mus = []
-        for i in range(0, n, batch_size):
-            chunk = [jnp.asarray(a[i:i + batch_size]) for a in inputs]
-            mus.append(np.asarray(self.apply_latent(*chunk)))
-        mu = np.concatenate(mus).astype(np.float32)
+        mu = batched_apply(self.apply_latent, inputs,
+                           batch_size).astype(np.float32)
         return EncodeResult(latents=mu,
                             clusters=_nearest_center(mu, self.centers),
                             paths=[])

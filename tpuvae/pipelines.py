@@ -80,6 +80,7 @@ from tpuvae.train import (
     simple_vae_objective,
 )
 from tpuvae.utils import RunLogger, StageTimer
+from tpuvae.utils.batching import batched_apply as _batched_latents
 from tpuvae.viz import (
     cluster_language_bar,
     loss_curve,
@@ -434,20 +435,6 @@ def _fit_mesh(mesh: MeshContext | None, batch_size: int, logger=None):
     return mesh.mesh
 
 
-def _batched_latents(apply_latent, arrays, batch_size: int = 32) -> np.ndarray:
-    """Whole-dataset encoder-mean extraction, re-batched to bound memory
-    (the reference encodes all N hi-res mels in ONE tensor,
-    ``Conditional_VAE.py:398-402`` — a peak-memory hazard on any device)."""
-    n = arrays[0].shape[0]
-    outs = []
-    for i in range(0, n, batch_size):
-        chunk = [a[i : i + batch_size] for a in arrays]
-        pad = batch_size - chunk[0].shape[0]
-        if pad:
-            chunk = [np.pad(c, ((0, pad),) + ((0, 0),) * (c.ndim - 1)) for c in chunk]
-        mu = apply_latent(*[jnp.asarray(c) for c in chunk])
-        outs.append(np.asarray(mu)[: batch_size - pad if pad else batch_size])
-    return np.concatenate(outs)
 
 
 def _save_serving(results_dir: str, arch_subdir: str, state, *,
