@@ -1,0 +1,113 @@
+"""Serving-path throughput: end-to-end ``ClipEncoder.encode_waveforms``
+clips/s (feature extraction → scalers → encoder μ → centroid assignment)
+for each architecture, at production clip geometry.
+
+Prepares a tiny training run in a scratch dir first (fast), then measures
+steady-state encode throughput on pre-loaded waveforms.  Run on the real
+TPU (default interpreter)::
+
+    python benchmarks/serving_bench.py [--duration=30.0] [--batch=32]
+
+or on the host CPU (the sitecustomize-registered TPU plugin wins over
+``JAX_PLATFORMS`` unless PYTHONPATH is scrubbed — same re-exec trick as
+``_tpuvae_pytest_cpu.py``)::
+
+    PYTHONPATH= JAX_PLATFORMS=cpu python benchmarks/serving_bench.py \
+        --duration=2.0 --batch=4 --clips=8
+
+Steady state excludes the first (compile) call; serving batches reuse ONE
+XLA executable per geometry (`tpuvae.utils.batching.batched_apply` pads
+the ragged tail).
+"""
+
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+
+    from tpuvae.config import (
+        AdvancedPreprocessConfig,
+        ClusterConfig,
+        HybridVAEConfig,
+        PreprocessConfig,
+        SimpleVAEConfig,
+    )
+    from tpuvae.infer import ClipEncoder
+    from tpuvae.io import generate_dataset
+    from tpuvae.io.synthetic import generate_memory_batch
+    from tpuvae.pipelines import (
+        preprocess_advanced,
+        preprocess_basic,
+        run_hybrid_vae,
+        run_simple_vae,
+    )
+    from tpuvae.utils import RunLogger
+
+    args = dict(a.lstrip("-").split("=", 1) for a in sys.argv[1:])
+    duration = float(args.get("duration", 30.0))
+    batch = int(args.get("batch", 32))
+    n_clips = int(args.get("clips", 2 * batch))
+    log(f"backend: {jax.default_backend()}  duration={duration}s  "
+        f"batch={batch}  clips={n_clips}")
+
+    root = Path(tempfile.mkdtemp(prefix="tpuvae_serving_bench_"))
+    logger = RunLogger(echo=False)
+    # train at a small geometry; serving reuses whatever the bundle records
+    generate_dataset(root / "Datasets", clips_per_genre_lang=3,
+                     duration=duration, seed=11)
+    tsteps = 1024 if duration >= 30.0 else 64
+    preprocess_basic(PreprocessConfig(
+        duration=duration, dataset_root=str(root / "Datasets"),
+        metadata_csv=str(root / "Datasets" / "updated_metadata.csv"),
+        output_dir=str(root / "processed_data1"), extract_batch=8,
+    ), logger=logger)
+    preprocess_advanced(AdvancedPreprocessConfig(
+        duration=duration, fixed_time_steps=tsteps,
+        dataset_root=str(root / "Datasets"),
+        metadata_csv=str(root / "Datasets" / "updated_metadata.csv"),
+        output_dir=str(root / "processed_data2"), extract_batch=8,
+    ), logger=logger)
+    ccfg = ClusterConfig(simple_k_sweep=(2, 3), hybrid_k_min=2,
+                         hybrid_k_max=3, tsne_perplexity=5.0)
+    run_simple_vae(str(root / "processed_data1"), str(root / "results"),
+                   SimpleVAEConfig(epochs=2, patience=50, batch_size=8),
+                   ccfg, logger=logger, make_plots=False)
+    run_hybrid_vae(str(root / "processed_data2"), str(root / "results"),
+                   HybridVAEConfig(epochs=1, patience=50, batch_size=8),
+                   ccfg, logger=logger, make_plots=False)
+    log("training bundles ready")
+
+    waves, _ = generate_memory_batch(n_clips // 3 + 1, duration=duration,
+                                     seed=13)
+    waves = waves[:n_clips]
+    lyrics = ["bench lyrics line"] * len(waves)
+
+    for arch, kw in (("simple", {}), ("hybrid", {"lyrics": lyrics})):
+        enc = ClipEncoder.load(arch, results_dir=str(root / "results"))
+        t0 = time.time()
+        enc.encode_waveforms(waves, batch_size=batch, **kw)   # compile
+        log(f"{arch}: first call (incl. compile) {time.time() - t0:.1f}s")
+        t0 = time.time()
+        reps = 3
+        for _ in range(reps):
+            out = enc.encode_waveforms(waves, batch_size=batch, **kw)
+        dt = (time.time() - t0) / reps
+        print(f"{arch}: {len(waves) / dt:.1f} clips/s end-to-end "
+              f"({dt * 1e3 / len(waves):.2f} ms/clip, batch={batch}, "
+              f"latent={out.latents.shape[1]})")
+
+
+if __name__ == "__main__":
+    main()

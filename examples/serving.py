@@ -40,6 +40,10 @@ def main():
     #   enc = ClipEncoder.load("hybrid", results_dir="results")
     #   enc.encode_paths(["new_song.wav"], lyrics=["..."])
 
+    # long-lived deployment: put the same bundle behind the HTTP daemon
+    #   python -m tpuvae.cli serve --arch=simple --port=8787
+    #   curl -X POST localhost:8787/encode -d '{"paths": ["new_song.wav"]}'
+
 
 if __name__ == "__main__":
     main()

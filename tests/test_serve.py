@@ -1,0 +1,199 @@
+"""HTTP serving daemon tests (``tpuvae.serve``): train a tiny simple-arch
+bundle once, run the server in a thread on an ephemeral port, and exercise
+the JSON API with stdlib urllib — health/info, path-mode and base64-mode
+encoding (parity with direct :class:`ClipEncoder` calls), and the full
+client-error surface.  The reference has no serving story at all (its
+scripts end at CSVs/plots)."""
+
+import base64
+import json
+import threading
+import urllib.error
+import urllib.request
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tpuvae.config import ClusterConfig, PreprocessConfig, SimpleVAEConfig
+from tpuvae.io import generate_dataset
+from tpuvae.utils import RunLogger
+
+
+@pytest.fixture(scope="module")
+def bundle(tmp_path_factory):
+    """Tiny corpus → preprocess → simple-VAE training; returns the root."""
+    from tpuvae.pipelines import preprocess_basic, run_simple_vae
+
+    root = tmp_path_factory.mktemp("serve_http")
+    generate_dataset(root / "Datasets", clips_per_genre_lang=3, duration=2.0,
+                     seed=7)
+    logger = RunLogger(echo=False)
+    preprocess_basic(PreprocessConfig(
+        duration=2.0, dataset_root=str(root / "Datasets"),
+        metadata_csv=str(root / "Datasets" / "updated_metadata.csv"),
+        output_dir=str(root / "processed_data1"), extract_batch=8,
+    ), logger=logger)
+    run_simple_vae(str(root / "processed_data1"), str(root / "results"),
+                   SimpleVAEConfig(epochs=2, patience=50, batch_size=8),
+                   ClusterConfig(simple_k_sweep=(2, 3), tsne_perplexity=5.0),
+                   logger=logger, make_plots=False)
+    return root
+
+
+@pytest.fixture(scope="module")
+def server(bundle):
+    """ClipEncoder + live ThreadingHTTPServer on an ephemeral port."""
+    from tpuvae.infer import ClipEncoder
+    from tpuvae.serve import make_server
+
+    enc = ClipEncoder.load("simple", results_dir=str(bundle / "results"),
+                           data_dir=str(bundle / "processed_data1"))
+    srv = make_server(enc, port=0, quiet=True)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    yield enc, f"http://127.0.0.1:{srv.server_address[1]}", bundle
+    srv.shutdown()
+    srv.server_close()
+    thread.join(timeout=5)
+
+
+def _get(url: str):
+    with urllib.request.urlopen(url, timeout=120) as r:
+        return r.status, json.loads(r.read())
+
+
+def _post(url: str, body, raw: bytes | None = None):
+    data = raw if raw is not None else json.dumps(body).encode()
+    req = urllib.request.Request(url, data=data, method="POST",
+                                 headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req, timeout=600) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _clip_paths(root: Path, n: int):
+    meta = pd.read_csv(root / "processed_data1" / "metadata.csv")
+    return [str(next((root / "Datasets").rglob(fn)))
+            for fn in meta["filename"].astype(str).head(n)]
+
+
+def test_health_and_info(server):
+    enc, url, _ = server
+    status, health = _get(f"{url}/healthz")
+    assert status == 200
+    assert health["status"] == "ok"
+    assert health["arch"] == "simple"
+    assert health["latent_dim"] == 32
+
+    status, info = _get(f"{url}/info")
+    assert status == 200
+    assert info["sample_rate"] == 22050
+    assert info["duration"] == 2.0
+    assert info["num_samples"] == 44100
+    assert info["n_centers"] == len(enc.centers)
+    assert info["model_meta"]["latent_dim"] == 32
+
+
+def test_encode_paths_parity(server):
+    """Server latents/clusters == direct ClipEncoder output (to the wire
+    precision the server rounds to)."""
+    enc, url, root = server
+    paths = _clip_paths(root, 3)
+    status, out = _post(f"{url}/encode", {"paths": paths})
+    assert status == 200
+    direct = enc.encode_paths(paths)
+    got = np.asarray(out["latents"], np.float32)
+    assert got.shape == (3, 32)
+    np.testing.assert_allclose(got, direct.latents, atol=1e-5)
+    assert out["clusters"] == [int(c) for c in direct.clusters]
+    assert out["paths"] == paths
+    assert out["warnings"] == []
+
+
+def test_encode_base64_matches_paths(server):
+    """audio_b64 mode decodes the same container bytes to the same latents."""
+    enc, url, root = server
+    path = _clip_paths(root, 1)[0]
+    blob = base64.b64encode(Path(path).read_bytes()).decode()
+    status, via_b64 = _post(f"{url}/encode", {"audio_b64": [blob]})
+    assert status == 200
+    status, via_path = _post(f"{url}/encode", {"paths": [path]})
+    assert status == 200
+    np.testing.assert_allclose(via_b64["latents"], via_path["latents"],
+                               atol=1e-6)
+    assert via_b64["paths"] == []      # temp names are not leaked
+
+
+def test_client_error_surface(server):
+    _, url, root = server
+    path = _clip_paths(root, 1)[0]
+    wav_b64 = base64.b64encode(Path(path).read_bytes()).decode()
+
+    for body, code, frag in [
+        ({}, 400, "exactly one of"),
+        ({"paths": [path], "audio_b64": [wav_b64]}, 400, "exactly one of"),
+        ({"paths": []}, 400, "empty"),
+        ({"audio_b64": []}, 400, "empty"),
+        ({"paths": path}, 400, "must be a list"),
+        ({"paths": ["/no/such/file.wav"]}, 404, "no such file"),
+        ({"audio_b64": ["@@not-base64@@"]}, 400, "not valid base64"),
+        ({"audio_b64": [base64.b64encode(b"PK\x03\x04junk").decode()]},
+         400, "not a WAV/FLAC"),
+        ({"audio_b64": [42]}, 400, "must be a base64 string"),
+        ({"paths": [path], "batch_size": 0}, 400, "positive integer"),
+        ({"paths": [path], "bogus": 1}, 400, "unknown field"),
+        # arch-capability errors surface as 400s, not 500s
+        ({"paths": [path], "lyrics": ["la"]}, 400, "neither lyrics"),
+    ]:
+        status, out = _post(f"{url}/encode", body)
+        assert status == code, (body, out)
+        assert frag in out["error"], (body, out)
+
+    status, out = _post(f"{url}/encode", None, raw=b"{not json")
+    assert status == 400 and "not valid JSON" in out["error"]
+    status, out = _post(f"{url}/encode", ["a", "list"])
+    assert status == 400 and "JSON object" in out["error"]
+
+    status, out = _get_err(f"{url}/nope")
+    assert status == 404 and "/healthz" in out["error"]
+    status, out = _post(f"{url}/nope", {})
+    assert status == 404
+
+
+def _get_err(url: str):
+    try:
+        return _get(url)
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_concurrent_health_during_encode(server):
+    """Health stays responsive while encodes run (thread-per-request server,
+    encode serialized on its own lock)."""
+    _, url, root = server
+    paths = _clip_paths(root, 4)
+    results = {}
+
+    def encode():
+        results["encode"] = _post(f"{url}/encode", {"paths": paths})
+
+    t = threading.Thread(target=encode)
+    t.start()
+    status, health = _get(f"{url}/healthz")
+    assert status == 200 and health["status"] == "ok"
+    t.join(timeout=600)
+    assert results["encode"][0] == 200
+    assert len(results["encode"][1]["clusters"]) == 4
+
+
+def test_requests_served_counter(server):
+    _, url, root = server
+    _, before = _get(f"{url}/healthz")
+    status, _ = _post(f"{url}/encode", {"paths": _clip_paths(root, 1)})
+    assert status == 200
+    _, after = _get(f"{url}/healthz")
+    assert after["requests_served"] == before["requests_served"] + 1

@@ -20,6 +20,8 @@ Layers (bottom-up), mirroring SURVEY.md §1:
   metrics/   clustering quality metrics                         (ref L5)
   viz/       host-side t-SNE + report plots                     (ref L6)
   parallel/  device mesh + sharding rules
+  infer.py   serving: new clips -> latents + cluster ids       (extension)
+  serve.py   HTTP daemon around infer (stdlib-only JSON API)   (extension)
 """
 
 __version__ = "0.1.0"

@@ -9,9 +9,16 @@ top to bottom" workflow (``README.md:56-87``) with subcommands:
   python -m tpuvae.cli train-hybrid          [--key=value ...]
   python -m tpuvae.cli all                   # full end-to-end sweep
   python -m tpuvae.cli encode --arch=hybrid song.wav [song2.wav ...]
+  python -m tpuvae.cli serve  --arch=hybrid --port=8787   # HTTP daemon
   python -m tpuvae.cli eda                   # exploratory-analysis report
   python -m tpuvae.cli parity                # run sweep twice, diff metrics
   python -m tpuvae.cli report                # print consolidated CSV
+
+``serve`` keeps a trained model resident behind a JSON HTTP API
+(``GET /healthz``, ``GET /info``, ``POST /encode`` — see
+:mod:`tpuvae.serve`).  Flags: ``--arch``, ``--results_dir``, ``--data_dir``,
+``--host`` (default 127.0.0.1), ``--port`` (default 8787),
+``--warmup=0|1`` (pre-compile with one silent clip, default 1).
 
 ``encode`` maps NEW audio clips through a trained model to latents +
 nearest-training-centroid cluster ids (serving bundle from a prior
@@ -243,6 +250,29 @@ def _dispatch(argv) -> int:
             np.savez(eopts["out"], latents=res.latents,
                      clusters=res.clusters, paths=np.asarray(res.paths))
             print(f"latents saved to {eopts['out']}")
+        return 0
+
+    if cmd == "serve":
+        from tpuvae.serve import serve
+
+        opts = {"arch", "results_dir", "data_dir", "host", "port", "warmup"}
+        sopts = {}
+        for a in rest:
+            key, sep, value = a.lstrip("-").partition("=")
+            if key not in opts:
+                raise KeyError(f"serve has no flag {key!r} "
+                               f"(known: {sorted(opts)})")
+            if not sep:
+                raise ValueError(f"--{key} needs a value: --{key}=...")
+            sopts[key] = value
+        serve(
+            arch=sopts.get("arch", "hybrid"),
+            results_dir=sopts.get("results_dir", "results"),
+            data_dir=sopts.get("data_dir"),
+            host=sopts.get("host", "127.0.0.1"),
+            port=int(sopts.get("port", 8787)),
+            warmup=sopts.get("warmup", "1") != "0",
+        )
         return 0
 
     if cmd == "eda":
