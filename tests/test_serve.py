@@ -197,3 +197,206 @@ def test_requests_served_counter(server):
     assert status == 200
     _, after = _get(f"{url}/healthz")
     assert after["requests_served"] == before["requests_served"] + 1
+
+
+# -- micro-batching ----------------------------------------------------------
+
+
+class _FakeEncoder:
+    """Counts device calls; latents = first 2 waveform samples (row-exact,
+    so merged-batch slicing mistakes are visible)."""
+
+    def __init__(self, arch="hybrid", fail_on_negative=False):
+        self.arch = arch
+        self.meta = {"latent_dim": 2, "genre_names": ["pop", "rock"],
+                     "num_classes": 2}
+        self.calls = []
+        self.fail_on_negative = fail_on_negative
+
+    def validate_args(self, n, lyrics=None, genres=None):
+        from tpuvae.infer import ClipEncoder
+
+        ClipEncoder.validate_args(self, n, lyrics=lyrics, genres=genres)
+
+    def encode_waveforms(self, waves, lyrics=None, genres=None,
+                         batch_size=32):
+        from tpuvae.infer import EncodeResult
+
+        waves = np.asarray(waves)
+        if self.fail_on_negative and (waves < 0).any():
+            raise RuntimeError("device exploded")
+        self.calls.append((len(waves), lyrics, genres))
+        return EncodeResult(latents=waves[:, :2].astype(np.float32),
+                            clusters=np.zeros(len(waves), np.int32),
+                            paths=[])
+
+
+def _submit_concurrently(batcher, requests):
+    """Run batcher.encode_waveforms for each kwargs dict in threads; returns
+    results/errors in submission order."""
+    out = [None] * len(requests)
+    barrier = threading.Barrier(len(requests))
+
+    def work(i, kw):
+        barrier.wait()
+        try:
+            out[i] = batcher.encode_waveforms(**kw)
+        except Exception as e:          # noqa: BLE001 — assertions inspect it
+            out[i] = e
+
+    threads = [threading.Thread(target=work, args=(i, kw))
+               for i, kw in enumerate(requests)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    return out
+
+
+def test_microbatcher_merges_concurrent_requests():
+    from tpuvae.serve import MicroBatcher
+
+    enc = _FakeEncoder()
+    batcher = MicroBatcher(enc, max_batch=8, max_wait_ms=400.0)
+    try:
+        waves = [np.full((1, 16), float(i)) for i in range(4)]
+        out = _submit_concurrently(
+            batcher,
+            [dict(waveforms=w, lyrics=["la"]) for w in waves])
+        for i, (res, warns) in enumerate(out):
+            assert res.latents.shape == (1, 2)
+            np.testing.assert_array_equal(res.latents, [[i, i]])
+            assert warns == []
+        # all 4 single-clip requests shared device passes
+        assert batcher.requests_batched == 4
+        assert batcher.batches_run == len(enc.calls) < 4
+        assert sum(n for n, _, _ in enc.calls) == 4
+    finally:
+        batcher.close()
+
+
+def test_microbatcher_separates_modality_signatures():
+    from tpuvae.serve import MicroBatcher
+
+    enc = _FakeEncoder()
+    batcher = MicroBatcher(enc, max_batch=8, max_wait_ms=300.0)
+    try:
+        out = _submit_concurrently(batcher, [
+            dict(waveforms=np.zeros((1, 16)), lyrics=["a"]),
+            dict(waveforms=np.ones((1, 16))),          # no lyrics
+        ])
+        assert all(not isinstance(o, Exception) for o in out)
+        # different (lyrics?, genres?) signatures never merge — each request
+        # must hit the device with exactly the arguments it was given
+        assert len(enc.calls) == 2
+        assert sorted(c[1] is None for c in enc.calls) == [False, True]
+    finally:
+        batcher.close()
+
+
+def test_microbatcher_respects_max_batch():
+    from tpuvae.serve import MicroBatcher
+
+    enc = _FakeEncoder()
+    batcher = MicroBatcher(enc, max_batch=2, max_wait_ms=300.0)
+    try:
+        out = _submit_concurrently(
+            batcher,
+            [dict(waveforms=np.full((1, 16), float(i))) for i in range(4)])
+        assert all(not isinstance(o, Exception) for o in out)
+        assert all(n <= 2 for n, _, _ in enc.calls)
+        assert sum(n for n, _, _ in enc.calls) == 4
+    finally:
+        batcher.close()
+
+
+def test_microbatcher_validates_at_submit_and_propagates_errors():
+    from tpuvae.serve import MicroBatcher
+
+    enc = _FakeEncoder(arch="simple", fail_on_negative=True)
+    batcher = MicroBatcher(enc, max_batch=8, max_wait_ms=10.0)
+    try:
+        # bad arguments are rejected before entering the queue
+        with pytest.raises(ValueError, match="neither lyrics"):
+            batcher.encode_waveforms(np.zeros((1, 16)), lyrics=["la"])
+        with pytest.raises(ValueError, match="2 lyrics for 1"):
+            _FakeEncoder().validate_args(1, lyrics=["a", "b"])
+        assert enc.calls == []
+        # device-side failures re-raise in the submitting thread
+        with pytest.raises(RuntimeError, match="device exploded"):
+            batcher.encode_waveforms(-np.ones((1, 16)))
+        # and the batcher keeps serving afterwards
+        res, _ = batcher.encode_waveforms(np.ones((1, 16)))
+        np.testing.assert_array_equal(res.latents, [[1.0, 1.0]])
+    finally:
+        batcher.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        batcher.encode_waveforms(np.zeros((1, 16)))
+
+
+@pytest.fixture(scope="module")
+def batched_server(server):
+    """Second daemon over the SAME encoder (shared jit cache), with request
+    micro-batching enabled."""
+    from tpuvae.serve import make_server
+
+    enc, _, bundle = server
+    srv = make_server(enc, port=0, quiet=True, batch_wait_ms=300.0,
+                      max_batch=8)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    yield enc, f"http://127.0.0.1:{srv.server_address[1]}", bundle
+    srv.shutdown()
+    srv.server_close()
+    srv.app.close()
+    thread.join(timeout=5)
+
+
+def test_batched_server_concurrent_encodes(batched_server):
+    enc, url, root = batched_server
+    paths = _clip_paths(root, 3)
+    results = [None] * 3
+    barrier = threading.Barrier(3)
+
+    def post(i):
+        barrier.wait()
+        results[i] = _post(f"{url}/encode", {"paths": [paths[i]]})
+
+    threads = [threading.Thread(target=post, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+
+    direct = enc.encode_paths(paths)
+    for i, (status, out) in enumerate(results):
+        assert status == 200, out
+        np.testing.assert_allclose(
+            np.asarray(out["latents"], np.float32), direct.latents[i:i + 1],
+            atol=1e-4)
+        assert out["clusters"] == [int(direct.clusters[i])]
+        assert out["paths"] == [paths[i]]
+
+    _, health = _get(f"{url}/healthz")
+    mb = health["microbatch"]
+    assert mb["requests_batched"] == 3
+    assert mb["batches_run"] < 3          # at least some requests merged
+    assert mb["max_batch"] == 8
+
+
+def test_batched_server_b64_and_errors(batched_server):
+    _, url, root = batched_server
+    path = _clip_paths(root, 1)[0]
+    blob = base64.b64encode(Path(path).read_bytes()).decode()
+    status, via_b64 = _post(f"{url}/encode", {"audio_b64": [blob]})
+    assert status == 200
+    status, via_path = _post(f"{url}/encode", {"paths": [path]})
+    assert status == 200
+    np.testing.assert_allclose(via_b64["latents"], via_path["latents"],
+                               atol=1e-6)
+    assert via_b64["paths"] == []
+    # submit-time validation surfaces as a 400, same as the serialized path
+    status, out = _post(f"{url}/encode", {"paths": [path], "lyrics": ["la"]})
+    assert status == 400 and "neither lyrics" in out["error"]
+    status, out = _post(f"{url}/encode", {"paths": ["/no/file.wav"]})
+    assert status == 404

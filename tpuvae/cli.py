@@ -18,7 +18,10 @@ top to bottom" workflow (``README.md:56-87``) with subcommands:
 (``GET /healthz``, ``GET /info``, ``POST /encode`` — see
 :mod:`tpuvae.serve`).  Flags: ``--arch``, ``--results_dir``, ``--data_dir``,
 ``--host`` (default 127.0.0.1), ``--port`` (default 8787),
-``--warmup=0|1`` (pre-compile with one silent clip, default 1).
+``--warmup=0|1`` (pre-compile with one silent clip, default 1),
+``--batch_wait_ms`` (>0 micro-batches concurrent requests into shared
+device passes, default 0 = serialized), ``--max_batch`` (device rows per
+pass under micro-batching, default 32).
 
 ``encode`` maps NEW audio clips through a trained model to latents +
 nearest-training-centroid cluster ids (serving bundle from a prior
@@ -255,7 +258,8 @@ def _dispatch(argv) -> int:
     if cmd == "serve":
         from tpuvae.serve import serve
 
-        opts = {"arch", "results_dir", "data_dir", "host", "port", "warmup"}
+        opts = {"arch", "results_dir", "data_dir", "host", "port", "warmup",
+                "batch_wait_ms", "max_batch"}
         sopts = {}
         for a in rest:
             key, sep, value = a.lstrip("-").partition("=")
@@ -272,6 +276,8 @@ def _dispatch(argv) -> int:
             host=sopts.get("host", "127.0.0.1"),
             port=int(sopts.get("port", 8787)),
             warmup=sopts.get("warmup", "1") != "0",
+            batch_wait_ms=float(sopts.get("batch_wait_ms", 0.0)),
+            max_batch=int(sopts.get("max_batch", 32)),
         )
         return 0
 

@@ -216,16 +216,32 @@ class ClipEncoder:
             cond[i, names.index(g)] = 1.0
         return cond
 
-    def encode_waveforms(self, waveforms: np.ndarray, lyrics=None,
-                         genres=None, batch_size: int = 32) -> EncodeResult:
-        """Encode pre-loaded ``(N, num_samples)`` float32 waveforms."""
+    def validate_args(self, n: int, lyrics=None, genres=None) -> None:
+        """Raise the errors :meth:`encode_waveforms` would, without touching
+        the device — lets batching layers reject one bad request up-front
+        instead of failing a whole merged batch."""
         if self.arch == "simple" and (lyrics is not None or genres is not None):
             raise ValueError("the simple arch uses neither lyrics nor genres"
                              " — they would be silently dropped")
         if self.arch == "hybrid" and genres is not None:
             raise ValueError("the hybrid arch is unconditioned — genres "
                              "would be silently dropped (use arch='cvae')")
+        if lyrics is not None and len(lyrics) != n:
+            raise ValueError(f"got {len(lyrics)} lyrics for {n} clips")
+        if genres is not None:
+            if len(genres) != n:
+                raise ValueError(f"got {len(genres)} genres for {n} clips")
+            names = list(self.meta.get("genre_names", []))
+            for g in genres:
+                if g is not None and g not in names:
+                    raise ValueError(f"unknown genre {g!r}; training genres: "
+                                     f"{names}")
+
+    def encode_waveforms(self, waveforms: np.ndarray, lyrics=None,
+                         genres=None, batch_size: int = 32) -> EncodeResult:
+        """Encode pre-loaded ``(N, num_samples)`` float32 waveforms."""
         n = waveforms.shape[0]
+        self.validate_args(n, lyrics=lyrics, genres=genres)
         waveforms = np.asarray(waveforms, np.float32)
         # fixed-shape batches both passes: the ragged final chunk is padded
         # so each geometry compiles ONE executable (remote TPU compiles cost

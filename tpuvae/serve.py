@@ -35,13 +35,14 @@ import binascii
 import json
 import tempfile
 import threading
+import time
 import warnings
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
 
 import numpy as np
 
-from tpuvae.infer import ClipEncoder
+from tpuvae.infer import ClipEncoder, EncodeResult
 
 # container bytes per clip are ~5 MB at reference geometry (30 s, 22 kHz,
 # 16-bit); 256 MB comfortably bounds a 32-clip base64 batch
@@ -80,26 +81,178 @@ def _decode_b64_clips(blobs, tmp_dir: str) -> list[str]:
     return paths
 
 
+class _Pending:
+    """One submitted encode request, waiting on its batch to execute."""
+
+    __slots__ = ("waveforms", "lyrics", "genres", "event", "result",
+                 "warnings", "error")
+
+    def __init__(self, waveforms, lyrics, genres):
+        self.waveforms = waveforms
+        self.lyrics = lyrics
+        self.genres = genres
+        self.event = threading.Event()
+        self.result = None
+        self.warnings: list[str] = []
+        self.error: Exception | None = None
+
+
+class MicroBatcher:
+    """Coalesce concurrent encode requests into shared device batches.
+
+    Every device call pads to exactly ``batch_size`` rows (one XLA
+    executable per geometry — ``tpuvae.utils.batching.batched_apply``), so
+    K concurrent single-clip requests served one-by-one burn K full-batch
+    device passes; merged, they share one.  A single worker thread drains a
+    queue: the first request opens a window that closes after
+    ``max_wait_ms`` or when ``max_batch`` clips are gathered, whichever is
+    first.  Only requests with the same modality signature (lyrics given?
+    genres given?) merge, so per-request warning/validation semantics stay
+    identical to unbatched calls; arguments are validated at submit time
+    (:meth:`ClipEncoder.validate_args`) so one bad request can't fail a
+    merged batch.
+    """
+
+    def __init__(self, encoder: ClipEncoder, max_batch: int = 32,
+                 max_wait_ms: float = 20.0):
+        if max_batch < 1:
+            raise ValueError("max_batch must be >= 1")
+        self.encoder = encoder
+        self.max_batch = max_batch
+        self.max_wait = max_wait_ms / 1e3
+        self._queue: list[_Pending] = []
+        self._cv = threading.Condition()
+        self._closed = False
+        self.batches_run = 0
+        self.requests_batched = 0
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="tpuvae-microbatch")
+        self._thread.start()
+
+    def encode_waveforms(self, waveforms, lyrics=None, genres=None):
+        """Submit and block until the batch containing this request ran.
+        Returns ``(EncodeResult, warning_strings)``; re-raises encode
+        errors."""
+        waveforms = np.asarray(waveforms, np.float32)
+        self.encoder.validate_args(len(waveforms), lyrics=lyrics,
+                                   genres=genres)
+        req = _Pending(waveforms, lyrics, genres)
+        with self._cv:
+            if self._closed:
+                raise RuntimeError("MicroBatcher is closed")
+            self._queue.append(req)
+            self._cv.notify_all()
+        req.event.wait()
+        if req.error is not None:
+            raise req.error
+        return req.result, req.warnings
+
+    def close(self, timeout: float = 30.0) -> None:
+        """Stop accepting requests; the worker drains the queue, then exits."""
+        with self._cv:
+            self._closed = True
+            self._cv.notify_all()
+        self._thread.join(timeout=timeout)
+
+    # -- worker --------------------------------------------------------------
+
+    @staticmethod
+    def _sig(r: _Pending):
+        return (r.lyrics is None, r.genres is None)
+
+    def _run(self):
+        while True:
+            with self._cv:
+                while not self._queue and not self._closed:
+                    self._cv.wait()
+                if not self._queue:          # closed and drained
+                    return
+                first = self._queue.pop(0)
+                batch, total = [first], len(first.waveforms)
+                deadline = time.monotonic() + self.max_wait
+                while total < self.max_batch:
+                    i = next(
+                        (j for j, r in enumerate(self._queue)
+                         if self._sig(r) == self._sig(first)
+                         and total + len(r.waveforms) <= self.max_batch),
+                        None)
+                    if i is not None:
+                        r = self._queue.pop(i)
+                        batch.append(r)
+                        total += len(r.waveforms)
+                        continue
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0 or self._closed:
+                        break
+                    self._cv.wait(remaining)
+            self._execute(batch)
+
+    def _execute(self, batch: list[_Pending]):
+        try:
+            waves = np.concatenate([r.waveforms for r in batch])
+            lyrics = genres = None
+            if batch[0].lyrics is not None:
+                lyrics = [l for r in batch for l in r.lyrics]
+            if batch[0].genres is not None:
+                genres = [g for r in batch for g in r.genres]
+            with warnings.catch_warnings(record=True) as caught:
+                warnings.simplefilter("always")
+                res = self.encoder.encode_waveforms(
+                    waves, lyrics=lyrics, genres=genres,
+                    batch_size=self.max_batch)
+            msgs = [str(w.message) for w in caught]
+            self.batches_run += 1
+            self.requests_batched += len(batch)
+            off = 0
+            for r in batch:
+                k = len(r.waveforms)
+                r.result = EncodeResult(
+                    latents=res.latents[off:off + k],
+                    clusters=res.clusters[off:off + k], paths=[])
+                r.warnings = msgs
+                off += k
+        except Exception as e:             # noqa: BLE001 — delivered per-request
+            for r in batch:
+                r.error = e
+        finally:
+            for r in batch:
+                r.event.set()
+
+
 class ServingApp:
     """The encoder + request handling, independent of the HTTP plumbing."""
 
-    def __init__(self, encoder: ClipEncoder):
+    def __init__(self, encoder: ClipEncoder,
+                 batcher: MicroBatcher | None = None):
         self.encoder = encoder
+        self.batcher = batcher
         self._encode_lock = threading.Lock()
         self._requests_served = 0
+
+    def close(self) -> None:
+        if self.batcher is not None:
+            self.batcher.close()
 
     # -- GET ---------------------------------------------------------------
 
     def healthz(self) -> dict:
         import jax
 
-        return {
+        out = {
             "status": "ok",
             "arch": self.encoder.arch,
             "latent_dim": int(self.encoder.meta["latent_dim"]),
             "backend": jax.default_backend(),
             "requests_served": self._requests_served,
         }
+        if self.batcher is not None:
+            out["microbatch"] = {
+                "max_batch": self.batcher.max_batch,
+                "max_wait_ms": self.batcher.max_wait * 1e3,
+                "batches_run": self.batcher.batches_run,
+                "requests_batched": self.batcher.requests_batched,
+            }
+        return out
 
     def info(self) -> dict:
         enc = self.encoder
@@ -137,34 +290,57 @@ class ServingApp:
         if not isinstance(batch_size, int) or batch_size < 1:
             raise RequestError("'batch_size' must be a positive integer")
 
-        kwargs = dict(lyrics=body.get("lyrics"), genres=body.get("genres"),
-                      batch_size=batch_size)
-        with warnings.catch_warnings(record=True) as caught:
-            warnings.simplefilter("always")
-            with self._encode_lock:
-                if paths is not None:
-                    if not paths:
-                        raise RequestError("'paths' is empty")
-                    missing = [p for p in paths if not Path(p).exists()]
-                    if missing:
-                        raise RequestError(f"no such file(s): {missing}",
-                                           status=404)
-                    res = self.encoder.encode_paths(paths, **kwargs)
-                else:
-                    if not blobs:
-                        raise RequestError("'audio_b64' is empty")
-                    with tempfile.TemporaryDirectory(
-                            prefix="tpuvae_serve_") as td:
+        if paths is not None and not paths:
+            raise RequestError("'paths' is empty")
+        if blobs is not None and not blobs:
+            raise RequestError("'audio_b64' is empty")
+        if paths is not None:
+            missing = [p for p in paths if not Path(p).exists()]
+            if missing:
+                raise RequestError(f"no such file(s): {missing}", status=404)
+        kwargs = dict(lyrics=body.get("lyrics"), genres=body.get("genres"))
+
+        if self.batcher is not None:
+            # container decode runs here, concurrently per handler thread;
+            # only the device pass funnels through the batching worker
+            # (batch_size is accepted for API compat; the server's
+            # max_batch governs the device batch)
+            if paths is not None:
+                waves = self._load_waveforms(paths)
+            else:
+                with tempfile.TemporaryDirectory(prefix="tpuvae_serve_") as td:
+                    waves = self._load_waveforms(_decode_b64_clips(blobs, td))
+            res, warn_msgs = self.batcher.encode_waveforms(waves, **kwargs)
+            res.paths = paths or []
+        else:
+            with warnings.catch_warnings(record=True) as caught:
+                warnings.simplefilter("always")
+                with self._encode_lock:
+                    if paths is not None:
                         res = self.encoder.encode_paths(
-                            _decode_b64_clips(blobs, td), **kwargs)
-                    res.paths = []   # temp names are meaningless to clients
+                            paths, batch_size=batch_size, **kwargs)
+                    else:
+                        with tempfile.TemporaryDirectory(
+                                prefix="tpuvae_serve_") as td:
+                            res = self.encoder.encode_paths(
+                                _decode_b64_clips(blobs, td),
+                                batch_size=batch_size, **kwargs)
+                        res.paths = []   # temp names mean nothing to clients
+            warn_msgs = [str(w.message) for w in caught]
         self._requests_served += 1
         return {
             "latents": np.asarray(res.latents, np.float64).round(7).tolist(),
             "clusters": [int(c) for c in res.clusters],
             "paths": res.paths,
-            "warnings": [str(w.message) for w in caught],
+            "warnings": warn_msgs,
         }
+
+    def _load_waveforms(self, paths) -> np.ndarray:
+        from tpuvae.io import load_audio
+
+        cfg = self.encoder.pre_cfg
+        return np.stack([load_audio(p, cfg.sample_rate, cfg.duration)
+                         for p in paths])
 
 
 def _make_handler(app: ServingApp, quiet: bool):
@@ -221,11 +397,18 @@ def _make_handler(app: ServingApp, quiet: bool):
 
 
 def make_server(encoder: ClipEncoder, host: str = "127.0.0.1", port: int = 0,
-                quiet: bool = False) -> ThreadingHTTPServer:
+                quiet: bool = False, batch_wait_ms: float = 0.0,
+                max_batch: int = 32) -> ThreadingHTTPServer:
     """Bind (but don't start) the HTTP server; ``port=0`` picks a free port
     (``server.server_address[1]``).  Call ``serve_forever()`` on the result,
-    or run it in a thread for tests."""
-    app = ServingApp(encoder)
+    or run it in a thread for tests.  ``batch_wait_ms > 0`` enables request
+    micro-batching (:class:`MicroBatcher`): concurrent ``/encode`` calls
+    within that window share one ``max_batch``-row device pass.  Call
+    ``server.app.close()`` after ``server_close()`` to stop the worker."""
+    batcher = (MicroBatcher(encoder, max_batch=max_batch,
+                            max_wait_ms=batch_wait_ms)
+               if batch_wait_ms > 0 else None)
+    app = ServingApp(encoder, batcher=batcher)
     server = ThreadingHTTPServer((host, port), _make_handler(app, quiet))
     server.app = app
     return server
@@ -233,7 +416,8 @@ def make_server(encoder: ClipEncoder, host: str = "127.0.0.1", port: int = 0,
 
 def serve(arch: str = "hybrid", results_dir: str = "results",
           data_dir: str | None = None, host: str = "127.0.0.1",
-          port: int = 8787, warmup: bool = True) -> None:
+          port: int = 8787, warmup: bool = True,
+          batch_wait_ms: float = 0.0, max_batch: int = 32) -> None:
     """Load the bundle, optionally pre-compile with one silent clip, then
     serve forever (the ``cli serve`` entry point)."""
     encoder = ClipEncoder.load(arch, results_dir=results_dir,
@@ -246,12 +430,17 @@ def serve(arch: str = "hybrid", results_dir: str = "results",
             warnings.simplefilter("ignore")
             encoder.encode_waveforms(silent, **kwargs)
         print("warmup compile done")
-    server = make_server(encoder, host=host, port=port)
+    server = make_server(encoder, host=host, port=port,
+                         batch_wait_ms=batch_wait_ms, max_batch=max_batch)
+    mode = (f"micro-batching ({batch_wait_ms:g} ms window, "
+            f"max {max_batch} clips)" if batch_wait_ms > 0 else "serialized")
     print(f"serving arch={arch!r} on http://{host}:"
-          f"{server.server_address[1]}  (GET /healthz, /info; POST /encode)")
+          f"{server.server_address[1]}  (GET /healthz, /info; POST /encode; "
+          f"encodes {mode})")
     try:
         server.serve_forever()
     except KeyboardInterrupt:
         pass
     finally:
         server.server_close()
+        server.app.close()
