@@ -94,8 +94,10 @@ def main():
     waves = waves[:n_clips]
     lyrics = ["bench lyrics line"] * len(waves)
 
+    encoders = {}
     for arch, kw in (("simple", {}), ("hybrid", {"lyrics": lyrics})):
         enc = ClipEncoder.load(arch, results_dir=str(root / "results"))
+        encoders[arch] = enc
         t0 = time.time()
         enc.encode_waveforms(waves, batch_size=batch, **kw)   # compile
         log(f"{arch}: first call (incl. compile) {time.time() - t0:.1f}s")
@@ -107,6 +109,61 @@ def main():
         print(f"{arch}: {len(waves) / dt:.1f} clips/s end-to-end "
               f"({dt * 1e3 / len(waves):.2f} ms/clip, batch={batch}, "
               f"latent={out.latents.shape[1]})")
+
+    concurrent_load_bench(encoders["simple"], waves, batch,
+                          n_clients=int(args.get("clients", 16)),
+                          seconds=float(args.get("seconds", 10.0)))
+
+
+def concurrent_load_bench(enc, waves, batch, n_clients, seconds):
+    """Online-serving shape of load: many clients, one clip per request.
+
+    Serialized mode pads every request to a full device batch, so K
+    concurrent single-clip requests burn K full-batch passes; the
+    MicroBatcher shares one.  Reports clips/s both ways — the ratio is the
+    micro-batching win (upper bound ≈ min(n_clients, max_batch))."""
+    import threading
+
+    from tpuvae.serve import MicroBatcher
+
+    def run_clients(submit_one):
+        stop = time.time() + seconds
+        counts = [0] * n_clients
+
+        def client(i):
+            clip = waves[i % len(waves)][None]
+            while time.time() < stop:
+                submit_one(clip)
+                counts[i] += 1
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(n_clients)]
+        t0 = time.time()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        return sum(counts) / (time.time() - t0)
+
+    lock = threading.Lock()
+
+    def serialized(clip):
+        with lock:
+            enc.encode_waveforms(clip, batch_size=batch)
+
+    rate_serial = run_clients(serialized)
+
+    batcher = MicroBatcher(enc, max_batch=batch, max_wait_ms=10.0)
+    try:
+        rate_batched = run_clients(
+            lambda clip: batcher.encode_waveforms(clip))
+        stats = (f"{batcher.requests_batched} requests in "
+                 f"{batcher.batches_run} device batches")
+    finally:
+        batcher.close()
+    print(f"simple concurrent 1-clip requests x{n_clients} clients: "
+          f"{rate_serial:.1f} req/s serialized -> {rate_batched:.1f} req/s "
+          f"micro-batched ({rate_batched / rate_serial:.1f}x; {stats})")
 
 
 if __name__ == "__main__":
