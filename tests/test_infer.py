@@ -188,6 +188,28 @@ def test_centers_from_labels_keeps_label_ids():
         centers_from_labels(x, np.full(5, -1))
 
 
+def test_encode_mesh_sharded_matches_single_device(served):
+    """encode_waveforms(mesh=...) spreads each device batch over the data
+    axis and reproduces single-device latents — bulk offline scoring scales
+    across chips without a separate code path."""
+    import jax
+
+    from tpuvae.infer import ClipEncoder
+    from tpuvae.parallel import MeshContext, make_mesh
+
+    enc = ClipEncoder.load("simple", results_dir=str(served / "results"),
+                           data_dir=str(served / "processed_data1"))
+    _, paths, _ = _training_paths(served, "processed_data1", 6)
+    ctx = MeshContext(make_mesh((-1,), ("data",)))
+    assert ctx.n_devices == len(jax.devices())
+    # batch_size 4 < 8 devices: rounded up so the sharded dim divides
+    sharded = enc.encode_paths(paths, batch_size=4, mesh=ctx)
+    single = enc.encode_paths(paths, batch_size=32)
+    np.testing.assert_allclose(sharded.latents, single.latents,
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(sharded.clusters, single.clusters)
+
+
 def test_missing_bundle_raises(served, tmp_path):
     from tpuvae.infer import ClipEncoder
 

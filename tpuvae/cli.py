@@ -29,7 +29,8 @@ nearest-training-centroid cluster ids (serving bundle from a prior
 ``--data_dir`` (preprocessing dir with the scalers), ``--lyrics=<text>``
 (applied to every clip) or ``--lyrics_file=<path>`` (one line per clip),
 ``--genres=g1,g2,…`` (cvae condition), ``--out=<file.npz>`` to save
-latents/clusters.
+latents/clusters, ``--mesh=1`` to shard each device batch over all visible
+chips (bulk offline scoring).
 
 Global flags: ``--debug-nans`` enables jax debug-NaN checking for the run.
 
@@ -214,7 +215,7 @@ def _dispatch(argv) -> int:
         from tpuvae.infer import ClipEncoder
 
         opts = {"arch", "results_dir", "data_dir", "lyrics", "lyrics_file",
-                "genres", "out", "batch_size"}
+                "genres", "out", "batch_size", "mesh"}
         paths, eopts = [], {}
         flags_done = False
         for a in rest:
@@ -243,9 +244,14 @@ def _dispatch(argv) -> int:
         elif "lyrics" in eopts:
             lyrics = [eopts["lyrics"]] * len(paths)
         genres = eopts["genres"].split(",") if "genres" in eopts else None
+        mesh = None
+        if eopts.get("mesh", "0") != "0":
+            from tpuvae.parallel import MeshContext
+
+            mesh = MeshContext.create()   # all visible devices, data axis
         res = enc.encode_paths(
             paths, lyrics=lyrics, genres=genres,
-            batch_size=int(eopts.get("batch_size", 32)),
+            batch_size=int(eopts.get("batch_size", 32)), mesh=mesh,
         )
         for p, c in zip(res.paths, res.clusters):
             print(f"{p}\tcluster={int(c)}")

@@ -238,16 +238,33 @@ class ClipEncoder:
                                      f"{names}")
 
     def encode_waveforms(self, waveforms: np.ndarray, lyrics=None,
-                         genres=None, batch_size: int = 32) -> EncodeResult:
-        """Encode pre-loaded ``(N, num_samples)`` float32 waveforms."""
+                         genres=None, batch_size: int = 32,
+                         mesh=None) -> EncodeResult:
+        """Encode pre-loaded ``(N, num_samples)`` float32 waveforms.
+
+        ``mesh`` (a :class:`tpuvae.parallel.MeshContext`) shards every
+        device batch over the mesh's data axis — the scale-out path for
+        bulk offline scoring.  ``batch_size`` is rounded up to a multiple
+        of the device count (sharded dims must divide the mesh axis); the
+        model's weights ride along as replicated jit constants.
+        """
         n = waveforms.shape[0]
         self.validate_args(n, lyrics=lyrics, genres=genres)
         waveforms = np.asarray(waveforms, np.float32)
+        put = None
+        if mesh is not None:
+            from tpuvae.parallel import batch_sharding
+
+            batch_size = -(-batch_size // mesh.n_devices) * mesh.n_devices
+
+            def put(c):
+                return jax.device_put(
+                    c, batch_sharding(mesh.mesh, np.ndim(c), mesh.axis))
         # fixed-shape batches both passes: the ragged final chunk is padded
         # so each geometry compiles ONE executable (remote TPU compiles cost
         # minutes), and whole-tensor encode is the reference's peak-memory
         # hazard (Conditional_VAE.py:398-402)
-        raw = batched_apply(self._extract, (waveforms,), batch_size)
+        raw = batched_apply(self._extract, (waveforms,), batch_size, put=put)
 
         if self.arch == "simple":
             inputs = (self._normalize(raw),)
@@ -264,13 +281,13 @@ class ClipEncoder:
                         "genres= for in-distribution latents", stacklevel=2)
                 inputs += (self._condition(genres, n),)
         mu = batched_apply(self.apply_latent, inputs,
-                           batch_size).astype(np.float32)
+                           batch_size, put=put).astype(np.float32)
         return EncodeResult(latents=mu,
                             clusters=_nearest_center(mu, self.centers),
                             paths=[])
 
     def encode_paths(self, paths, lyrics=None, genres=None,
-                     batch_size: int = 32) -> EncodeResult:
+                     batch_size: int = 32, mesh=None) -> EncodeResult:
         """Decode audio files host-side, then :meth:`encode_waveforms`."""
         paths = [str(p) for p in paths]
         waves = np.stack([
@@ -278,6 +295,6 @@ class ClipEncoder:
             for p in paths
         ])
         res = self.encode_waveforms(waves, lyrics=lyrics, genres=genres,
-                                    batch_size=batch_size)
+                                    batch_size=batch_size, mesh=mesh)
         return EncodeResult(latents=res.latents, clusters=res.clusters,
                             paths=paths)
