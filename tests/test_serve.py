@@ -171,6 +171,52 @@ def _get_err(url: str):
         return e.code, json.loads(e.read())
 
 
+def test_error_replies_without_body_read_close_the_connection(server):
+    """HTTP/1.1 keep-alive: an error reply sent before reading the request
+    body must carry Connection: close, or the unread bytes would be parsed
+    as the next request on the reused connection."""
+    import http.client
+    from urllib.parse import urlparse
+
+    import tpuvae.serve as serve_mod
+
+    _, url, _ = server
+    u = urlparse(url)
+
+    conn = http.client.HTTPConnection(u.hostname, u.port, timeout=30)
+    try:
+        body = json.dumps({"x": 1}).encode()
+        conn.request("POST", "/nope", body=body,
+                     headers={"Content-Type": "application/json"})
+        r = conn.getresponse()
+        assert r.status == 404
+        assert r.headers.get("Connection") == "close"
+        r.read()
+        # the client reconnects transparently; the next request on this
+        # object must not hit stale body bytes
+        conn.request("GET", "/healthz")
+        r2 = conn.getresponse()
+        assert r2.status == 200
+        assert json.loads(r2.read())["status"] == "ok"
+    finally:
+        conn.close()
+
+    # oversize bodies: 413 + close, again without reading the body
+    old = serve_mod.MAX_BODY_BYTES
+    serve_mod.MAX_BODY_BYTES = 16
+    try:
+        conn = http.client.HTTPConnection(u.hostname, u.port, timeout=30)
+        conn.request("POST", "/encode", body=b"x" * 64,
+                     headers={"Content-Type": "application/json"})
+        r = conn.getresponse()
+        assert r.status == 413
+        assert r.headers.get("Connection") == "close"
+        assert "exceeds" in json.loads(r.read())["error"]
+        conn.close()
+    finally:
+        serve_mod.MAX_BODY_BYTES = old
+
+
 def test_concurrent_health_during_encode(server):
     """Health stays responsive while encodes run (thread-per-request server,
     encode serialized on its own lock)."""
@@ -290,6 +336,24 @@ def test_microbatcher_separates_modality_signatures():
         # must hit the device with exactly the arguments it was given
         assert len(enc.calls) == 2
         assert sorted(c[1] is None for c in enc.calls) == [False, True]
+    finally:
+        batcher.close()
+
+
+def test_microbatcher_never_merges_mixed_waveform_lengths():
+    """Different clip geometries can't concatenate — each runs in its own
+    batch and both succeed (one odd request must not fail the other)."""
+    from tpuvae.serve import MicroBatcher
+
+    enc = _FakeEncoder()
+    batcher = MicroBatcher(enc, max_batch=8, max_wait_ms=300.0)
+    try:
+        out = _submit_concurrently(batcher, [
+            dict(waveforms=np.zeros((1, 16))),
+            dict(waveforms=np.ones((1, 32))),
+        ])
+        assert all(not isinstance(o, Exception) for o in out), out
+        assert len(enc.calls) == 2
     finally:
         batcher.close()
 

@@ -48,6 +48,12 @@ from tpuvae.infer import ClipEncoder, EncodeResult
 # 16-bit); 256 MB comfortably bounds a 32-clip base64 batch
 MAX_BODY_BYTES = 256 * 1024 * 1024
 
+# warnings.catch_warnings mutates process-global state and is documented
+# thread-unsafe; every recording block in this module serializes on this
+# lock so concurrent requests can't misattribute (or permanently swallow)
+# each other's warnings
+_WARN_LOCK = threading.Lock()
+
 _MAGIC_SUFFIX = {b"fLaC": ".flac", b"RIFF": ".wav"}
 
 
@@ -158,7 +164,10 @@ class MicroBatcher:
 
     @staticmethod
     def _sig(r: _Pending):
-        return (r.lyrics is None, r.genres is None)
+        # waveform geometry keys the merge too: mixed-length requests must
+        # never concatenate (the whole merged batch would fail on the one
+        # wrong-length request)
+        return (r.lyrics is None, r.genres is None, r.waveforms.shape[1:])
 
     def _run(self):
         while True:
@@ -195,7 +204,7 @@ class MicroBatcher:
                 lyrics = [l for r in batch for l in r.lyrics]
             if batch[0].genres is not None:
                 genres = [g for r in batch for g in r.genres]
-            with warnings.catch_warnings(record=True) as caught:
+            with _WARN_LOCK, warnings.catch_warnings(record=True) as caught:
                 warnings.simplefilter("always")
                 res = self.encoder.encode_waveforms(
                     waves, lyrics=lyrics, genres=genres,
@@ -227,6 +236,7 @@ class ServingApp:
         self.encoder = encoder
         self.batcher = batcher
         self._encode_lock = threading.Lock()
+        self._stats_lock = threading.Lock()
         self._requests_served = 0
 
     def close(self) -> None:
@@ -300,34 +310,28 @@ class ServingApp:
                 raise RequestError(f"no such file(s): {missing}", status=404)
         kwargs = dict(lyrics=body.get("lyrics"), genres=body.get("genres"))
 
-        if self.batcher is not None:
-            # container decode runs here, concurrently per handler thread;
-            # only the device pass funnels through the batching worker
-            # (batch_size is accepted for API compat; the server's
-            # max_batch governs the device batch)
-            if paths is not None:
-                waves = self._load_waveforms(paths)
-            else:
-                with tempfile.TemporaryDirectory(prefix="tpuvae_serve_") as td:
-                    waves = self._load_waveforms(_decode_b64_clips(blobs, td))
-            res, warn_msgs = self.batcher.encode_waveforms(waves, **kwargs)
-            res.paths = paths or []
+        # container decode runs here, concurrently per handler thread —
+        # only the device pass needs serialization (lock or batch worker)
+        if paths is not None:
+            waves = self._load_waveforms(paths)
         else:
-            with warnings.catch_warnings(record=True) as caught:
+            with tempfile.TemporaryDirectory(prefix="tpuvae_serve_") as td:
+                waves = self._load_waveforms(_decode_b64_clips(blobs, td))
+
+        if self.batcher is not None:
+            # batch_size is accepted for API compat; the server's max_batch
+            # governs the device batch
+            res, warn_msgs = self.batcher.encode_waveforms(waves, **kwargs)
+        else:
+            with self._encode_lock, _WARN_LOCK, \
+                    warnings.catch_warnings(record=True) as caught:
                 warnings.simplefilter("always")
-                with self._encode_lock:
-                    if paths is not None:
-                        res = self.encoder.encode_paths(
-                            paths, batch_size=batch_size, **kwargs)
-                    else:
-                        with tempfile.TemporaryDirectory(
-                                prefix="tpuvae_serve_") as td:
-                            res = self.encoder.encode_paths(
-                                _decode_b64_clips(blobs, td),
-                                batch_size=batch_size, **kwargs)
-                        res.paths = []   # temp names mean nothing to clients
+                res = self.encoder.encode_waveforms(
+                    waves, batch_size=batch_size, **kwargs)
             warn_msgs = [str(w.message) for w in caught]
-        self._requests_served += 1
+        res.paths = paths or []
+        with self._stats_lock:
+            self._requests_served += 1
         return {
             "latents": np.asarray(res.latents, np.float64).round(7).tolist(),
             "clusters": [int(c) for c in res.clusters],
@@ -351,11 +355,17 @@ def _make_handler(app: ServingApp, quiet: bool):
             if not quiet:
                 BaseHTTPRequestHandler.log_message(self, fmt, *args)
 
-        def _reply(self, status: int, payload: dict):
+        def _reply(self, status: int, payload: dict, close: bool = False):
+            # close=True for error replies sent WITHOUT reading the request
+            # body: on a keep-alive (HTTP/1.1) connection the unread bytes
+            # would be parsed as the start of the next request
             data = json.dumps(payload).encode()
             self.send_response(status)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(data)))
+            if close:
+                self.close_connection = True
+                self.send_header("Connection", "close")
             self.end_headers()
             self.wfile.write(data)
 
@@ -370,14 +380,16 @@ def _make_handler(app: ServingApp, quiet: bool):
 
         def do_POST(self):   # noqa: N802
             if self.path != "/encode":
-                self._reply(404, {"error": f"no route {self.path!r}"})
+                self._reply(404, {"error": f"no route {self.path!r}"},
+                            close=True)
                 return
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 if length > MAX_BODY_BYTES:
-                    raise RequestError(
-                        f"body of {length} bytes exceeds the "
-                        f"{MAX_BODY_BYTES}-byte limit", status=413)
+                    self._reply(413, {"error": f"body of {length} bytes "
+                                      f"exceeds the {MAX_BODY_BYTES}-byte "
+                                      f"limit"}, close=True)
+                    return
                 try:
                     body = json.loads(self.rfile.read(length) or b"{}")
                 except json.JSONDecodeError as e:
@@ -426,9 +438,12 @@ def serve(arch: str = "hybrid", results_dir: str = "results",
         n = int(encoder.pre_cfg.sample_rate * encoder.pre_cfg.duration)
         silent = np.zeros((1, n), np.float32)
         kwargs = {} if arch == "simple" else {"lyrics": [" "]}
+        # warm the geometry production requests will actually run: the
+        # micro-batcher always encodes at max_batch rows
+        warm_bs = max_batch if batch_wait_ms > 0 else 32
         with warnings.catch_warnings():
             warnings.simplefilter("ignore")
-            encoder.encode_waveforms(silent, **kwargs)
+            encoder.encode_waveforms(silent, batch_size=warm_bs, **kwargs)
         print("warmup compile done")
     server = make_server(encoder, host=host, port=port,
                          batch_wait_ms=batch_wait_ms, max_batch=max_batch)
