@@ -398,6 +398,42 @@ def test_microbatcher_validates_at_submit_and_propagates_errors():
         batcher.encode_waveforms(np.zeros((1, 16)))
 
 
+def test_microbatcher_stress_row_integrity():
+    """Randomized load: many threads, mixed request sizes / signatures /
+    clip lengths.  Every response must carry exactly its own rows (the fake
+    encoder echoes waveform samples into the latents, so any slicing or
+    merge-alignment bug shows up as wrong values)."""
+    import random
+
+    from tpuvae.serve import MicroBatcher
+
+    enc = _FakeEncoder()
+    batcher = MicroBatcher(enc, max_batch=4, max_wait_ms=5.0)
+    rng = random.Random(42)
+    requests = []
+    for i in range(40):
+        n = rng.randint(1, 3)
+        length = rng.choice([16, 32])
+        waves = np.arange(i * 100, i * 100 + n, dtype=np.float32)[:, None]
+        waves = np.repeat(waves, length, axis=1)
+        kw = dict(waveforms=waves)
+        if rng.random() < 0.5:
+            kw["lyrics"] = ["x"] * n
+        requests.append(kw)
+    try:
+        out = _submit_concurrently(batcher, requests)
+        for kw, o in zip(requests, out):
+            assert not isinstance(o, Exception), o
+            res, _ = o
+            np.testing.assert_array_equal(res.latents,
+                                          kw["waveforms"][:, :2])
+        assert sum(n for n, _, _ in enc.calls) == sum(
+            len(kw["waveforms"]) for kw in requests)
+        assert all(n <= 4 for n, _, _ in enc.calls)
+    finally:
+        batcher.close()
+
+
 @pytest.fixture(scope="module")
 def batched_server(server):
     """Second daemon over the SAME encoder (shared jit cache), with request
