@@ -327,6 +327,79 @@ def test_maybe_init_distributed_gate(monkeypatch):
     assert M.maybe_init_distributed() is False and len(calls) == 1
 
 
+def test_two_process_distributed_collectives(tmp_path):
+    """REAL multi-process run: two OS processes join via the coordinator
+    (the TPUVAE_DISTRIBUTED env contract), form ONE 8-device global mesh
+    (4 local CPU devices each), and run cross-process collectives — a
+    global-array reduction and the framework's shard_map silhouette — that
+    match the single-process value.  This executes the multi-host/DCN
+    story, not just its gating."""
+    import os
+    import socket
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    import jax.numpy as jnp
+
+    from tpuvae.metrics import silhouette_score
+
+    rng = np.random.default_rng(0)
+    x = (rng.normal(size=(48, 5))
+         + np.repeat(np.eye(3, 5) * 6, 16, 0)).astype(np.float32)
+    labels = np.repeat(np.arange(3), 16)
+    expected = float(silhouette_score(jnp.asarray(x), jnp.asarray(labels), 3))
+
+    worker = tmp_path / "worker.py"
+    worker.write_text(
+        "import sys\n"
+        "import numpy as np\n"
+        "import jax, jax.numpy as jnp\n"
+        "from jax.sharding import NamedSharding, PartitionSpec as P\n"
+        "from tpuvae.parallel.mesh import maybe_init_distributed, make_mesh\n"
+        "assert maybe_init_distributed() is True\n"
+        "assert jax.process_count() == 2\n"
+        "mesh = make_mesh((8,), ('data',))\n"
+        "sharding = NamedSharding(mesh, P('data'))\n"
+        "def cb(index):\n"
+        "    rows = np.arange(8)[index[0]]\n"
+        "    return np.tile(rows[:, None], (1, 4)).astype(np.float32)\n"
+        "arr = jax.make_array_from_callback((8, 4), sharding, cb)\n"
+        "total = jax.jit(jnp.sum, out_shardings=NamedSharding(mesh, P()))(arr)\n"
+        "assert float(total) == 112.0, float(total)\n"
+        "from tpuvae.metrics.distributed import silhouette_sharded\n"
+        "rng = np.random.default_rng(0)\n"
+        "x = (rng.normal(size=(48, 5))\n"
+        "     + np.repeat(np.eye(3, 5) * 6, 16, 0)).astype(np.float32)\n"
+        "labels = np.repeat(np.arange(3), 16)\n"
+        "got = float(silhouette_sharded(x, labels, 3, mesh))\n"
+        "expected = float(sys.argv[1])\n"
+        "assert abs(got - expected) < 1e-4, (got, expected)\n"
+        "print('OK', jax.process_index(), flush=True)\n"
+    )
+
+    with socket.socket() as s:        # free localhost port
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    ROOT = Path(__file__).resolve().parents[1]
+    procs = []
+    for i in range(2):
+        env = dict(
+            os.environ, TPUVAE_DISTRIBUTED="1",
+            TPUVAE_COORDINATOR=f"localhost:{port}",
+            TPUVAE_NUM_PROCESSES="2", TPUVAE_PROCESS_ID=str(i),
+            JAX_PLATFORMS="cpu", PYTHONPATH=str(ROOT),
+            XLA_FLAGS="--xla_force_host_platform_device_count=4",
+        )
+        procs.append(subprocess.Popen(
+            [sys.executable, str(worker), repr(expected)], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+    for i, p in enumerate(procs):
+        out, err = p.communicate(timeout=240)
+        assert p.returncode == 0, f"proc {i}:\n{err[-2000:]}"
+        assert f"OK {i}" in out
+
+
 def test_maybe_init_distributed_real_single_process():
     """Actually bring up the distributed runtime (1-process coordinator) in
     a subprocess — the multi-host entry point must work, not just be gated."""

@@ -51,6 +51,12 @@ def maybe_init_distributed() -> bool:
             num_processes=int(os.environ.get("TPUVAE_NUM_PROCESSES", "1")),
             process_id=int(os.environ.get("TPUVAE_PROCESS_ID", "0")),
         )
+    if kwargs.get("num_processes", 1) > 1 and "cpu" in os.environ.get(
+            "JAX_PLATFORMS", "").lower():
+        # multi-process CPU needs the gloo collectives backend; the default
+        # CPU client has no cross-process collectives (hand-launched test
+        # clusters — TPU/GPU paths are unaffected)
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
     jax.distributed.initialize(**kwargs)
     return True
 
