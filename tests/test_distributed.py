@@ -331,24 +331,41 @@ def test_two_process_distributed_collectives(tmp_path):
     """REAL multi-process run: two OS processes join via the coordinator
     (the TPUVAE_DISTRIBUTED env contract), form ONE 8-device global mesh
     (4 local CPU devices each), and run cross-process collectives — a
-    global-array reduction and the framework's shard_map silhouette — that
-    match the single-process value.  This executes the multi-host/DCN
-    story, not just its gating."""
+    global-array reduction, the framework's shard_map silhouette, and a
+    full shard_map DP training epoch — that match the single-process
+    values (the epoch bit-exactly: device count and axis indices are 8
+    either way, so the per-device math is identical).  This executes the
+    multi-host/DCN story, not just its gating."""
     import os
     import socket
     import subprocess
     import sys
     from pathlib import Path
 
-    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
     from tpuvae.metrics import silhouette_score
+    from tpuvae.models import SimpleAutoencoder
+    from tpuvae.parallel.dp import make_dp_epoch
+    from tpuvae.train import autoencoder_objective, create_state
 
     rng = np.random.default_rng(0)
     x = (rng.normal(size=(48, 5))
          + np.repeat(np.eye(3, 5) * 6, 16, 0)).astype(np.float32)
     labels = np.repeat(np.arange(3), 16)
     expected = float(silhouette_score(jnp.asarray(x), jnp.asarray(labels), 3))
+
+    rng2 = np.random.default_rng(3)
+    xt = rng2.normal(size=(64, 12)).astype(np.float32)
+    model = SimpleAutoencoder(input_dim=12, latent_dim=4)
+    key = jax.random.PRNGKey(0)
+    state = create_state(model, key, (jnp.asarray(xt[:2]),), 1e-2)
+    mesh8 = make_mesh((8,), ("data",))
+    epoch = make_dp_epoch(autoencoder_objective(), mesh8, batch_size=64,
+                          n_local=8, n_train_arrays=1, loss_reduction="mean")
+    placed = jax.device_put(xt, NamedSharding(mesh8, P("data")))
+    _, exp_loss, _ = epoch(state, key, placed)
+    expected_loss = float(exp_loss)
 
     worker = tmp_path / "worker.py"
     worker.write_text(
@@ -375,6 +392,23 @@ def test_two_process_distributed_collectives(tmp_path):
         "got = float(silhouette_sharded(x, labels, 3, mesh))\n"
         "expected = float(sys.argv[1])\n"
         "assert abs(got - expected) < 1e-4, (got, expected)\n"
+        "from tpuvae.models import SimpleAutoencoder\n"
+        "from tpuvae.parallel.dp import make_dp_epoch\n"
+        "from tpuvae.train import autoencoder_objective, create_state\n"
+        "rng2 = np.random.default_rng(3)\n"
+        "xt = rng2.normal(size=(64, 12)).astype(np.float32)\n"
+        "model = SimpleAutoencoder(input_dim=12, latent_dim=4)\n"
+        "key = jax.random.PRNGKey(0)\n"
+        "state = create_state(model, key, (jnp.asarray(xt[:2]),), 1e-2)\n"
+        "state = jax.tree_util.tree_map(\n"
+        "    lambda a: np.asarray(a) if hasattr(a, 'shape') else a, state)\n"
+        "epoch = make_dp_epoch(autoencoder_objective(), mesh, batch_size=64,\n"
+        "                      n_local=8, n_train_arrays=1,\n"
+        "                      loss_reduction='mean')\n"
+        "placed = jax.device_put(xt, NamedSharding(mesh, P('data')))\n"
+        "_, loss, _ = epoch(state, key, placed)\n"
+        "expected_loss = float(sys.argv[2])\n"
+        "assert float(loss) == expected_loss, (float(loss), expected_loss)\n"
         "print('OK', jax.process_index(), flush=True)\n"
     )
 
@@ -392,7 +426,8 @@ def test_two_process_distributed_collectives(tmp_path):
             XLA_FLAGS="--xla_force_host_platform_device_count=4",
         )
         procs.append(subprocess.Popen(
-            [sys.executable, str(worker), repr(expected)], env=env,
+            [sys.executable, str(worker), repr(expected),
+             repr(expected_loss)], env=env,
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
     for i, p in enumerate(procs):
         out, err = p.communicate(timeout=240)
