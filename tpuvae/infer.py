@@ -286,15 +286,19 @@ class ClipEncoder:
                             clusters=_nearest_center(mu, self.centers),
                             paths=[])
 
+    def load_waveforms(self, paths) -> np.ndarray:
+        """Decode audio files host-side at the bundle's training geometry."""
+        return np.stack([
+            load_audio(p, self.pre_cfg.sample_rate, self.pre_cfg.duration)
+            for p in paths
+        ])
+
     def encode_paths(self, paths, lyrics=None, genres=None,
                      batch_size: int = 32, mesh=None) -> EncodeResult:
         """Decode audio files host-side, then :meth:`encode_waveforms`."""
         paths = [str(p) for p in paths]
-        waves = np.stack([
-            load_audio(p, self.pre_cfg.sample_rate, self.pre_cfg.duration)
-            for p in paths
-        ])
-        res = self.encode_waveforms(waves, lyrics=lyrics, genres=genres,
-                                    batch_size=batch_size, mesh=mesh)
+        res = self.encode_waveforms(self.load_waveforms(paths), lyrics=lyrics,
+                                    genres=genres, batch_size=batch_size,
+                                    mesh=mesh)
         return EncodeResult(latents=res.latents, clusters=res.clusters,
                             paths=paths)

@@ -23,9 +23,11 @@ Endpoints (all JSON):
   ``{"latents": [[...]], "clusters": [...], "warnings": [...]}``.
 
 Requests are served from a thread pool (stdlib ``ThreadingHTTPServer``);
-encode calls serialize on one lock — a single model executable, in-order —
-while health checks stay responsive.  Built entirely on the standard
-library: no web-framework dependency.
+health checks stay responsive while encodes run.  The device pass is
+serialized — by default on one lock (in-order), or through
+:class:`MicroBatcher` (``batch_wait_ms > 0``), which coalesces concurrent
+requests into shared fixed-shape device batches.  Built entirely on the
+standard library: no web-framework dependency.
 """
 
 from __future__ import annotations
@@ -177,12 +179,13 @@ class MicroBatcher:
                 if not self._queue:          # closed and drained
                     return
                 first = self._queue.pop(0)
+                sig = self._sig(first)
                 batch, total = [first], len(first.waveforms)
                 deadline = time.monotonic() + self.max_wait
                 while total < self.max_batch:
                     i = next(
                         (j for j, r in enumerate(self._queue)
-                         if self._sig(r) == self._sig(first)
+                         if self._sig(r) == sig
                          and total + len(r.waveforms) <= self.max_batch),
                         None)
                     if i is not None:
@@ -313,10 +316,11 @@ class ServingApp:
         # container decode runs here, concurrently per handler thread —
         # only the device pass needs serialization (lock or batch worker)
         if paths is not None:
-            waves = self._load_waveforms(paths)
+            waves = self.encoder.load_waveforms(paths)
         else:
             with tempfile.TemporaryDirectory(prefix="tpuvae_serve_") as td:
-                waves = self._load_waveforms(_decode_b64_clips(blobs, td))
+                waves = self.encoder.load_waveforms(
+                    _decode_b64_clips(blobs, td))
 
         if self.batcher is not None:
             # batch_size is accepted for API compat; the server's max_batch
@@ -338,13 +342,6 @@ class ServingApp:
             "paths": res.paths,
             "warnings": warn_msgs,
         }
-
-    def _load_waveforms(self, paths) -> np.ndarray:
-        from tpuvae.io import load_audio
-
-        cfg = self.encoder.pre_cfg
-        return np.stack([load_audio(p, cfg.sample_rate, cfg.duration)
-                         for p in paths])
 
 
 def _make_handler(app: ServingApp, quiet: bool):
