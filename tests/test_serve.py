@@ -245,6 +245,15 @@ def test_requests_served_counter(server):
     assert after["requests_served"] == before["requests_served"] + 1
 
 
+def test_cli_serve_flag_errors():
+    """Unknown or valueless serve flags are argument errors (rc 2), caught
+    before any bundle loading."""
+    from tpuvae import cli
+
+    assert cli.main(["serve", "--bogus=1"]) == 2
+    assert cli.main(["serve", "--port"]) == 2
+
+
 # -- micro-batching ----------------------------------------------------------
 
 
