@@ -40,9 +40,23 @@ def main():
     #   enc = ClipEncoder.load("hybrid", results_dir="results")
     #   enc.encode_paths(["new_song.wav"], lyrics=["..."])
 
-    # long-lived deployment: put the same bundle behind the HTTP daemon
-    #   python -m tpuvae.cli serve --arch=simple --port=8787
-    #   curl -X POST localhost:8787/encode -d '{"paths": ["new_song.wav"]}'
+    # long-lived deployment: the same bundle behind the HTTP daemon — here
+    # in-process on an ephemeral port; production runs
+    #   python -m tpuvae.cli serve --arch=simple --port=8787 --batch_wait_ms=10
+    import json
+    import threading
+    import urllib.request
+
+    from tpuvae.serve import make_server
+
+    server = make_server(enc, port=0, quiet=True, batch_wait_ms=10.0)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    port = server.server_address[1]
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz") as r:
+        print("daemon healthz:", json.load(r))
+    server.shutdown()
+    server.server_close()
+    server.app.close()
 
 
 if __name__ == "__main__":
