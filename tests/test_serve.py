@@ -245,6 +245,47 @@ def test_requests_served_counter(server):
     assert after["requests_served"] == before["requests_served"] + 1
 
 
+def test_serve_sigterm_drains_and_exits_zero(bundle):
+    """The container-stop signal: SIGTERM finishes in-flight work and the
+    daemon exits 0 (serve() installs a handler on the main thread)."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+    import urllib.request
+    from pathlib import Path
+
+    ROOT = Path(__file__).resolve().parents[1]
+    env = dict(os.environ, PYTHONPATH=str(ROOT), JAX_PLATFORMS="cpu")
+    port = 18431
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "tpuvae.cli", "serve", "--arch=simple",
+         f"--results_dir={bundle / 'results'}",
+         f"--data_dir={bundle / 'processed_data1'}",
+         f"--port={port}", "--warmup=0"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            try:
+                with urllib.request.urlopen(
+                        f"http://127.0.0.1:{port}/healthz", timeout=5) as r:
+                    assert r.status == 200
+                break
+            except OSError:
+                time.sleep(0.5)
+        else:
+            raise AssertionError("daemon never became healthy")
+        proc.send_signal(signal.SIGTERM)
+        out, _ = proc.communicate(timeout=60)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    assert proc.returncode == 0, out[-2000:]
+    assert "drained in-flight requests" in out
+
+
 def test_cli_serve_flag_errors():
     """Unknown or valueless serve flags are argument errors (rc 2), caught
     before any bundle loading."""

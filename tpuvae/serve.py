@@ -448,11 +448,26 @@ def serve(arch: str = "hybrid", results_dir: str = "results",
             f"max {max_batch} clips)" if batch_wait_ms > 0 else "serialized")
     print(f"serving arch={arch!r} on http://{host}:"
           f"{server.server_address[1]}  (GET /healthz, /info; POST /encode; "
-          f"encodes {mode})")
+          f"encodes {mode})", flush=True)
+
+    # graceful SIGTERM (the container-stop signal): finish in-flight
+    # requests, then exit 0 — serve_forever returns after shutdown().
+    # Handlers can only be installed on the main thread; embedded callers
+    # on other threads use server.shutdown() themselves.
+    import signal
+
+    def _term(signum, frame):
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    on_main = threading.current_thread() is threading.main_thread()
+    prev = signal.signal(signal.SIGTERM, _term) if on_main else None
     try:
         server.serve_forever()
+        print("shutdown requested; drained in-flight requests", flush=True)
     except KeyboardInterrupt:
         pass
     finally:
+        if on_main:
+            signal.signal(signal.SIGTERM, prev)
         server.server_close()
         server.app.close()
