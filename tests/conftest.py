@@ -1,8 +1,20 @@
 """Shared fixtures.  CPU/8-virtual-device setup lives in _tpuvae_pytest_cpu
 (loaded via pytest.ini addopts before capture starts)."""
 
+import os
+import sys
+
 import numpy as np
 import pytest
+
+if os.environ.get("TPUVAE_LINECOV") == "1":
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import linecov
+
+    linecov.start()
+
+    def pytest_unconfigure(config):
+        linecov.print_summary(linecov.stop_and_report(), min_missing=10)
 
 
 @pytest.fixture(scope="session")
