@@ -302,6 +302,106 @@ def test_dp_epoch_compute_and_memory_stay_sharded():
     assert np.isfinite(float(loss))
 
 
+def test_dp_epoch_val_total_and_remainder_batches():
+    """The DP epoch's validation total and remainder-batch paths.
+
+    Geometry chosen to hit every partial-batch branch of make_dp_epoch:
+    batch_size 16 over 8 devices -> local_bs 2; n_local 9 -> 4 scanned
+    train steps + a 1-row remainder step; n_val_local 3 -> 1 scanned val
+    batch + a 1-row val remainder.  The AE objective is deterministic
+    (no dropout/BN/sampling), so the returned val total must equal the
+    same grouping recomputed from per-row losses on the host: pmean over
+    devices of (mean-loss of each local val batch, summed)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tpuvae.models import SimpleAutoencoder
+    from tpuvae.parallel.dp import make_dp_epoch
+    from tpuvae.train import autoencoder_objective, create_state
+
+    n, n_val, d = 72, 24, 12
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    v = rng.normal(size=(n_val, d)).astype(np.float32)
+    mesh = make_mesh((8,), ("data",))
+    model = SimpleAutoencoder(input_dim=d, latent_dim=4)
+    key = jax.random.PRNGKey(7)
+    state = create_state(model, key, (jnp.asarray(x[:2]),), 1e-3)
+
+    epoch = make_dp_epoch(
+        autoencoder_objective(), mesh, batch_size=16, n_local=n // 8,
+        n_train_arrays=1, n_val_arrays=1, n_val_local=n_val // 8,
+        loss_reduction="mean",
+    )
+    sharding = NamedSharding(mesh, P("data"))
+    state2, loss, val = epoch(state, key, jax.device_put(x, sharding),
+                              jax.device_put(v, sharding))
+    assert np.isfinite(float(loss))
+    p0 = jax.tree_util.tree_leaves(state.params)[0]
+    p2 = jax.tree_util.tree_leaves(state2.params)[0]
+    assert not np.allclose(np.asarray(p0), np.asarray(p2)), (
+        "remainder-inclusive epoch did not update params")
+    # returned state must be exactly replicated on every device
+    shards = [np.asarray(s.data) for s in p2.addressable_shards]
+    for s in shards[1:]:
+        np.testing.assert_array_equal(shards[0], s)
+
+    # recompute the val total from per-row losses with the DP grouping:
+    # device d holds rows [3d, 3d+3); batches are rows [3d,3d+2) and [3d+2]
+    recon = np.asarray(state2.apply_fn({"params": state2.params},
+                                       jnp.asarray(v))[0])
+    r = ((recon - v) ** 2).mean(axis=1)
+    per_dev = [r[3 * i: 3 * i + 2].mean() + r[3 * i + 2] for i in range(8)]
+    np.testing.assert_allclose(float(val), np.mean(per_dev), rtol=1e-5)
+
+
+def test_dp_epoch_syncs_batchnorm_stats():
+    """fit(mesh=...) with a BatchNorm model: running stats must be updated
+    AND pmean-synced (identical on every device), and the val-row trim
+    (n_val not divisible by D) must engage rather than crash."""
+    from tpuvae.models import SimpleVAE
+    from tpuvae.train import FitConfig, create_state, fit, simple_vae_objective
+
+    d = 12
+    rng = np.random.default_rng(12)
+    x = rng.normal(size=(72, d)).astype(np.float32)
+    v = rng.normal(size=(20, d)).astype(np.float32)  # 20 % 8 -> 4 trimmed
+    mesh = make_mesh((8,), ("data",))
+    model = SimpleVAE(input_dim=d, hidden_dims=(8, 6), latent_dim=4)
+    key = jax.random.PRNGKey(0)
+    state = create_state(model, key, (jnp.asarray(x[:2]), key), 1e-3,
+                         train=True)
+    stats0 = jax.tree_util.tree_leaves(state.batch_stats)
+    assert stats0, "SimpleVAE should carry BatchNorm running stats"
+
+    cfg = FitConfig(epochs=2, batch_size=16, patience=99, monitor="val",
+                    seed=0)
+    res = fit(state, simple_vae_objective(), (x,), cfg, val_data=(v,),
+              mesh=mesh, loss_reduction="mean")
+    assert len(res.history["val_loss"]) == 2
+    assert all(np.isfinite(res.history["val_loss"]))
+    stats2 = jax.tree_util.tree_leaves(res.state.batch_stats)
+    changed = any(not np.allclose(np.asarray(a), np.asarray(b))
+                  for a, b in zip(stats0, stats2))
+    assert changed, "BatchNorm running stats never updated in the DP epoch"
+    for leaf in stats2:
+        shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+        for s in shards[1:]:
+            np.testing.assert_array_equal(shards[0], s)
+
+
+def test_make_dp_epoch_rejects_bad_config():
+    from tpuvae.parallel.dp import make_dp_epoch
+    from tpuvae.train import autoencoder_objective
+
+    mesh = make_mesh((8,), ("data",))
+    with pytest.raises(ValueError, match="loss_reduction"):
+        make_dp_epoch(autoencoder_objective(), mesh, batch_size=16,
+                      n_local=8, n_train_arrays=1, loss_reduction="avg")
+    with pytest.raises(ValueError, match="divide"):
+        make_dp_epoch(autoencoder_objective(), mesh, batch_size=12,
+                      n_local=8, n_train_arrays=1)
+
+
 def test_maybe_init_distributed_gate(monkeypatch):
     """Off by default; on, it forwards the explicit coordinator env config."""
     import tpuvae.parallel.mesh as M
