@@ -201,3 +201,26 @@ def test_preprocess_pre_rowed_ct_path_matches_staged(tmp_path):
     a, b = outs["dft"], outs["ct_pallas"]
     assert a.shape == b.shape
     np.testing.assert_allclose(b, a, rtol=3e-3, atol=3e-3)
+
+
+def test_run_parity_end_to_end_on_tiny_corpus(preprocessed, small_cluster_cfg,
+                                              tmp_path):
+    """The `cli parity` entry point proper: the full 3-VAE × clustering
+    sweep run TWICE must reproduce every consolidated metric within ±0.01
+    (BASELINE.json bar) under the seed-42 discipline (C33).  Runs on the
+    tiny module corpus; the reference-geometry equivalent is recorded from
+    real-TPU runs in BASELINE.md."""
+    from tpuvae.parity import run_parity
+
+    corpus, _, _ = preprocessed
+    res = run_parity(
+        str(corpus / "processed_data1"), str(corpus / "processed_data2"),
+        work_dir=str(tmp_path / "parity"), cluster_cfg=small_cluster_cfg,
+        overrides={"epochs": 2, "batch_size": 8},
+    )
+    assert res["ok"], res["problems"]
+    # both runs actually produced the full consolidated CSV
+    a = pd.read_csv(tmp_path / "parity" / "run_a" / "clustering_metrics.csv")
+    assert set(a["Architecture"]) == {
+        "Simple VAE", "Conditional VAE", "Convolutional VAE",
+    }

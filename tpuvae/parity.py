@@ -52,8 +52,15 @@ def run_parity(
     work_dir: str = "parity_runs",
     tol: float = 0.01,
     fast: bool = True,
+    cluster_cfg=None,
+    overrides: dict | None = None,
 ) -> dict:
-    """Run the full sweep twice; return {'ok': bool, 'problems': [...]}."""
+    """Run the full sweep twice; return {'ok': bool, 'problems': [...]}.
+
+    ``cluster_cfg`` / ``overrides`` (extra model-config fields, e.g.
+    ``{"epochs": 2, "batch_size": 8}``) let the harness run on small test
+    corpora; defaults reproduce the reference geometry.
+    """
     from tpuvae.config import (
         ClusterConfig,
         ConditionalVAEConfig,
@@ -64,14 +71,16 @@ def run_parity(
     from tpuvae.utils import RunLogger
 
     work = Path(work_dir)
-    epochs = 3 if fast else None
+    ov = dict(overrides or {})
+    if fast:
+        ov.setdefault("epochs", 3)
     logger = RunLogger(echo=False)
-    ccfg = ClusterConfig()
+    ccfg = cluster_cfg if cluster_cfg is not None else ClusterConfig()
     for run in ("run_a", "run_b"):
         results = str(work / run)
-        s = SimpleVAEConfig(**({"epochs": epochs} if epochs else {}))
-        c = ConditionalVAEConfig(**({"epochs": epochs} if epochs else {}))
-        h = HybridVAEConfig(**({"epochs": epochs} if epochs else {}))
+        s = SimpleVAEConfig(**ov)
+        c = ConditionalVAEConfig(**ov)
+        h = HybridVAEConfig(**ov)
         run_simple_vae(data1, results, s, ccfg, logger=logger, make_plots=False)
         run_conditional_vae(data2, results, c, ccfg, logger=logger,
                             make_plots=False)
