@@ -89,3 +89,69 @@ def test_single_pipeline_data_dir(monkeypatch):
     monkeypatch.setattr(p, "run_simple_vae", fake)
     assert cli.main(["train-simple", "--data_dir=mydir", "--epochs=7"]) == 0
     assert seen == {"data": "mydir", "epochs": 7}
+
+
+def test_report_command(tmp_path, capsys, monkeypatch):
+    import pandas as pd
+
+    monkeypatch.chdir(tmp_path)
+    # no results yet -> rc 1 with a pointer at the expected path
+    assert cli.main(["report"]) == 1
+    assert "no results at" in capsys.readouterr().out
+    (tmp_path / "results").mkdir()
+    pd.DataFrame({"Architecture": ["Simple VAE"], "Silhouette": [0.4]}).to_csv(
+        tmp_path / "results" / "clustering_metrics.csv", index=False)
+    assert cli.main(["report"]) == 0
+    out = capsys.readouterr().out
+    assert "Simple VAE" in out and "0.4" in out
+
+
+def test_parity_command_routes_and_reports(monkeypatch, capsys):
+    import tpuvae.parity as parity
+
+    seen = {}
+
+    def fake(data1, data2, work_dir, tol, fast):
+        seen.update(d1=data1, d2=data2, wd=work_dir, tol=tol, fast=fast)
+        return {"ok": True, "problems": []}
+
+    monkeypatch.setattr(parity, "run_parity", fake)
+    rc = cli.main(["parity", "--data1_dir=A", "--data2_dir=B",
+                   "--out_dir=W", "--tol=0.02", "--fast=0"])
+    assert rc == 0
+    assert "PARITY OK" in capsys.readouterr().out
+    assert seen == dict(d1="A", d2="B", wd="W", tol=0.02, fast=False)
+
+    monkeypatch.setattr(parity, "run_parity",
+                        lambda **kw: {"ok": False, "problems": ["Silhouette[0]"]})
+    assert cli.main(["parity"]) == 1
+    assert "Silhouette[0]" in capsys.readouterr().out
+
+
+def test_eda_command_routes(monkeypatch, capsys):
+    import tpuvae.viz.eda as eda
+
+    calls = []
+    monkeypatch.setattr(eda, "run_eda",
+                        lambda d, o: calls.append((d, o)) or {"n": 3})
+    assert cli.main(["eda", "--data_dir=D2", "--out_dir=O"]) == 0
+    assert calls == [("D2", "O")]
+    assert '"n": 3' in capsys.readouterr().out
+
+
+def test_global_flags_set_debug_and_profile(monkeypatch, capsys):
+    import jax
+
+    monkeypatch.delenv("TPUVAE_PROFILE_DIR", raising=False)
+    monkeypatch.setattr(jax.config, "update", lambda *a: None)  # not sticky
+    flags = []
+    monkeypatch.setattr(jax.config, "update", lambda k, v: flags.append((k, v)))
+    assert cli.main(["--debug-nans", "--profile"]) == 0  # help after strip
+    assert ("jax_debug_nans", True) in flags
+    import os
+    assert os.environ["TPUVAE_PROFILE_DIR"] == "profiles"
+
+
+def test_all_rejects_unknown_field(capsys):
+    assert cli.main(["all", "--not_a_real_field=3"]) == 2
+    assert "not_a_real_field" in capsys.readouterr().err
