@@ -1,7 +1,10 @@
 """Resumable extraction, full training resume, EDA report, parity harness."""
 
+import os
+
 import numpy as np
 import pandas as pd
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -254,3 +257,72 @@ def test_restore_best_survives_checkpoint_resume(tmp_path):
                     jax.tree_util.tree_leaves(res_b.state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_checkpoint_manager_edge_paths(tmp_path, monkeypatch):
+    """Crash-safety and layout-fallback branches of the checkpoint store."""
+    from tpuvae.models import SimpleVAE
+    from tpuvae.train import (CheckpointManager, create_state,
+                              latest_train_state_dir, save_train_state)
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(4, 10)).astype(np.float32)
+    model = SimpleVAE(input_dim=10, hidden_dims=(8,), latent_dim=4)
+    key = jax.random.PRNGKey(0)
+    state = create_state(model, key, (jnp.asarray(x[:2]), key), 1e-3,
+                         train=True)
+
+    with pytest.raises(ValueError, match="max_to_keep"):
+        CheckpointManager(tmp_path / "bad", max_to_keep=0)
+
+    mgr = CheckpointManager(tmp_path / "ck")
+    with pytest.raises(FileNotFoundError, match="no checkpoints"):
+        mgr.restore(state)
+
+    # malformed step dirs are skipped, not fatal
+    (tmp_path / "ck" / "step_bogus").mkdir()
+    (tmp_path / "ck" / "step_bogus" / "train_state.msgpack").write_bytes(b"")
+    assert mgr.steps() == []
+
+    # a stale temp dir from a crashed save is cleared; re-saving a step
+    # replaces the old contents atomically
+    stale = tmp_path / "ck" / ".tmp_step_00000001"
+    stale.mkdir()
+    (stale / "junk").write_text("x")
+    mgr.save(state, {"epoch": 1}, step=1)
+    mgr.save(state, {"epoch": 11}, step=1)
+    _, meta = mgr.restore(state, step=1)
+    assert meta["epoch"] == 11 and not stale.exists()
+
+    # filesystems without symlinks fall back to a LATEST pointer file,
+    # and latest_train_state_dir reads it
+    def no_symlink(*a, **k):
+        raise OSError("symlinks unsupported")
+
+    monkeypatch.setattr(os, "symlink", no_symlink)
+    mgr2 = CheckpointManager(tmp_path / "nolink")
+    mgr2.save(state, {"epoch": 2}, step=2)
+    assert (tmp_path / "nolink" / "LATEST").read_text() == "step_00000002"
+    found = latest_train_state_dir(tmp_path / "nolink")
+    assert found is not None and found.name == "step_00000002"
+    monkeypatch.undo()
+
+    # a legacy real 'latest' dir that is NOT one of our checkpoints is
+    # left untouched; the manager records LATEST beside it instead
+    legacy = tmp_path / "legacy2"
+    mgr3 = CheckpointManager(legacy)
+    (legacy / "latest").mkdir()
+    (legacy / "latest" / "user_data.txt").write_text("keep me")
+    mgr3.save(state, {"epoch": 3}, step=3)
+    assert (legacy / "latest" / "user_data.txt").exists()
+    assert (legacy / "LATEST").read_text() == "step_00000003"
+
+    # with no latest symlink/pointer at all, the highest step dir wins
+    plain = tmp_path / "plain"
+    CheckpointManager(plain, max_to_keep=9).save(state, {}, step=1)
+    CheckpointManager(plain, max_to_keep=9).save(state, {}, step=5)
+    (plain / "latest").unlink(missing_ok=True)
+    (plain / "LATEST").unlink(missing_ok=True)
+    found = latest_train_state_dir(plain)
+    assert found is not None and found.name == "step_00000005"
+    assert latest_train_state_dir(tmp_path / "nothing_here") is None

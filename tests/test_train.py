@@ -152,3 +152,44 @@ def test_scan_epochs_early_stop_mid_chunk():
                     jax.tree_util.tree_leaves(b.state.params)):
         np.testing.assert_allclose(np.asarray(p), np.asarray(q),
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_scan_epochs_checkpoints_and_resumes(tmp_path):
+    """The chunked (scan_epochs>1) loop's in-chunk checkpointing: an
+    interrupted run resumed from its rotation checkpoints must land on the
+    same final weights and history tail as one uninterrupted run."""
+    def build():
+        rng = np.random.default_rng(9)
+        x = rng.normal(size=(48, 12)).astype(np.float32)
+        model = SimpleVAE(input_dim=12, hidden_dims=(8,), latent_dim=4)
+        key = jax.random.PRNGKey(1)
+        state = create_state(model, key, (jnp.asarray(x[:2]), key), 1e-2,
+                             train=True)
+        return state, jnp.asarray(x)
+
+    obj = simple_vae_objective(0.3)
+
+    def run(epochs, ck, resume):
+        state, x = build()
+        cfg = FitConfig(epochs=epochs, batch_size=16, patience=100,
+                        monitor="train", restore_best=True, seed=0,
+                        scan_epochs=3, checkpoint_dir=ck,
+                        checkpoint_every=2, checkpoint_keep=2, resume=resume)
+        return fit(state, obj, (x,), cfg)
+
+    full = run(10, str(tmp_path / "full"), resume=False)
+    run(6, str(tmp_path / "split"), resume=False)      # interrupted at 6
+    resumed = run(10, str(tmp_path / "split"), resume=True)
+
+    assert resumed.stopped_epoch == full.stopped_epoch
+    assert resumed.best_epoch == full.best_epoch
+    np.testing.assert_allclose(resumed.history["train_loss"][-4:],
+                               full.history["train_loss"][-4:], rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(full.state.params),
+                    jax.tree_util.tree_leaves(resumed.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+    # the best-weights snapshot was persisted by the chunked path too
+    from tpuvae.train.checkpoint import load_checkpoint
+    best_params, _, meta = load_checkpoint(tmp_path / "split" / "best")
+    assert meta["epoch"] == full.best_epoch
