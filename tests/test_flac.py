@@ -159,3 +159,33 @@ def test_corrupt_flac_fails_cleanly(tmp_path):
                 native_loader.load_audio_native(bad, 22050, 0.2)
             except (IOError, OSError):
                 pass
+
+
+def test_utf8_frame_numbers_all_widths():
+    """FLAC's extended-UTF-8 frame/sample-number coding round-trips at
+    every encoded width (1-7 bytes; 36-bit sample numbers are legal in
+    variable-blocksize streams), and malformed bytes raise."""
+    from tpuvae.io.flac import _BitReader, _read_utf8_number, _utf8_number
+
+    vals = [0, 1, 0x7F, 0x80, 0x7FF, 0x800, 0xFFFF, 0x10000, 0x1FFFFF,
+            0x200000, 0x3FFFFFF, 0x4000000, 0x7FFFFFFF, (1 << 36) - 1]
+    for v in vals:
+        enc = _utf8_number(v)
+        assert _read_utf8_number(_BitReader(enc)) == v, hex(v)
+    with pytest.raises(ValueError, match="invalid UTF-8"):
+        _read_utf8_number(_BitReader(b"\xff\x80"))          # bad lead byte
+    with pytest.raises(ValueError, match="continuation"):
+        _read_utf8_number(_BitReader(b"\xc2\x00"))          # bad follow byte
+
+
+def test_many_frames_multibyte_frame_numbers(tmp_path):
+    """>128 frames forces multi-byte frame-number coding in every later
+    frame header; the stream must still decode bit-exactly."""
+    rng = np.random.default_rng(3)
+    x = (rng.integers(-2000, 2000, size=20000)).astype(np.int32)
+    p = tmp_path / "many.flac"
+    write_flac(p, x, 22050, block_size=128)     # 157 frames
+    y, sr = read_flac(p)
+    assert sr == 22050
+    np.testing.assert_array_equal(np.asarray(y).ravel(),
+                                  (x / 32768.0).astype(np.float32))

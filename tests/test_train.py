@@ -2,6 +2,7 @@
 plateau LR, checkpoint round-trip — on the 8-virtual-device CPU mesh."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -193,3 +194,40 @@ def test_scan_epochs_checkpoints_and_resumes(tmp_path):
     from tpuvae.train.checkpoint import load_checkpoint
     best_params, _, meta = load_checkpoint(tmp_path / "split" / "best")
     assert meta["epoch"] == full.best_epoch
+
+
+def test_learning_rate_accessors_on_chained_optimizer():
+    """Users bringing optax.chain(...) optimizers: the LR accessors must
+    find the inject_hyperparams wrapper inside the chain tuple."""
+    import optax
+
+    from tpuvae.train.state import (TrainState, get_learning_rate,
+                                    set_learning_rate, traced_learning_rate)
+
+    model = SimpleVAE(input_dim=6, hidden_dims=(4,), latent_dim=2)
+    key = jax.random.PRNGKey(0)
+    x = jnp.zeros((2, 6), jnp.float32)
+    variables = model.init({"params": key, "dropout": key}, x, key, train=True)
+    tx = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.inject_hyperparams(optax.adam)(learning_rate=1e-3),
+    )
+    state = TrainState.create(
+        apply_fn=model.apply, params=variables["params"],
+        tx=tx, batch_stats=variables.get("batch_stats", {}),
+    )
+    assert np.isclose(get_learning_rate(state), 1e-3)
+    assert np.isclose(float(traced_learning_rate(state)), 1e-3)
+    state = set_learning_rate(state, 5e-4)
+    assert np.isclose(get_learning_rate(state), 5e-4)
+
+    # an optimizer with no injected LR anywhere is a clear error
+    plain = TrainState.create(
+        apply_fn=model.apply, params=variables["params"],
+        tx=optax.chain(optax.sgd(1e-2)),
+        batch_stats=variables.get("batch_stats", {}),
+    )
+    with pytest.raises(ValueError, match="learning_rate"):
+        get_learning_rate(plain)
+    with pytest.raises(ValueError, match="learning_rate"):
+        traced_learning_rate(plain)
