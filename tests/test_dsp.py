@@ -363,3 +363,12 @@ def test_fast_mode_close_to_exact(audio_batch):
     assert fast.shape == exact.shape
     # dB-domain means span ~[-80, 0]; spectral stats span ~[0, 5000] Hz
     np.testing.assert_allclose(fast, exact, rtol=2e-2, atol=1.0)
+
+
+def test_resolve_numerics_rejects_bad_mode():
+    from tpuvae.config import PreprocessConfig
+    from tpuvae.dsp import resolve_numerics
+
+    cfg = PreprocessConfig(precision_mode="sloppy")
+    with pytest.raises(ValueError, match="precision_mode"):
+        resolve_numerics(cfg)

@@ -124,3 +124,17 @@ def test_batch_shapes_and_dtype(model_path):
     assert out["input_ids"].shape == (3, 12)
     assert out["input_ids"].dtype == np.int32
     assert out["attention_mask"].dtype == np.int32
+
+
+def test_skip_field_covers_all_wire_types():
+    """The minimal protobuf walker must skip varint/64-bit/length/32-bit
+    fields (sentencepiece models in the wild carry fields our parser
+    doesn't read) and reject the deprecated group wire types."""
+    from tpuvae.text.tokenizer import _skip_field
+
+    assert _skip_field(b"\x96\x01xx", 0, wire_type=0) == 2   # 2-byte varint
+    assert _skip_field(b"\0" * 10, 0, wire_type=1) == 8
+    assert _skip_field(b"\x03abcZZ", 0, wire_type=2) == 4
+    assert _skip_field(b"\0" * 6, 0, wire_type=5) == 4
+    with pytest.raises(ValueError, match="wire type"):
+        _skip_field(b"\0", 0, wire_type=3)
