@@ -231,3 +231,69 @@ def test_learning_rate_accessors_on_chained_optimizer():
         get_learning_rate(plain)
     with pytest.raises(ValueError, match="learning_rate"):
         traced_learning_rate(plain)
+
+
+def _host_stream_setup(seed=13):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(50, 12)).astype(np.float32)
+    v = rng.normal(size=(20, 12)).astype(np.float32)
+    model = SimpleVAE(input_dim=12, hidden_dims=(8,), latent_dim=4)
+    key = jax.random.PRNGKey(2)
+    state = create_state(model, key, (jnp.asarray(x[:2]), key), 1e-2,
+                         train=True)
+    return state, x, v
+
+
+def test_host_stream_matches_in_memory_fit():
+    """host_stream=True must reproduce the in-graph epoch exactly: same
+    shuffles, same per-step RNG folds (dropout/sampling included), same
+    ragged-remainder handling — so histories and final weights agree."""
+    obj = simple_vae_objective(0.5)
+    state0, x, v = _host_stream_setup()
+    cfg = dict(epochs=5, batch_size=16, patience=99, monitor="val",
+               plateau_patience=2, seed=0)
+    res_mem = fit(state0, obj, (x,), FitConfig(**cfg), val_data=(v,))
+    state1, x, v = _host_stream_setup()
+    res_str = fit(state1, obj, (x,), FitConfig(**cfg, host_stream=True),
+                  val_data=(v,))
+    np.testing.assert_allclose(res_str.history["train_loss"],
+                               res_mem.history["train_loss"], rtol=1e-5)
+    np.testing.assert_allclose(res_str.history["val_loss"],
+                               res_mem.history["val_loss"], rtol=1e-5)
+    np.testing.assert_allclose(res_str.history["lr"], res_mem.history["lr"])
+    for a, b in zip(jax.tree_util.tree_leaves(res_str.state.params),
+                    jax.tree_util.tree_leaves(res_mem.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_host_stream_trains_from_memmap(tmp_path):
+    """Datasets larger than device memory: np.memmap inputs stream through
+    without ever materializing a whole-dataset device array."""
+    obj = simple_vae_objective(0.5)
+    state, x, v = _host_stream_setup()
+    mm = np.lib.format.open_memmap(tmp_path / "x.npy", mode="w+",
+                                   dtype=np.float32, shape=x.shape)
+    mm[:] = x
+    mm.flush()
+    ro = np.load(tmp_path / "x.npy", mmap_mode="r")
+    cfg = FitConfig(epochs=3, batch_size=16, patience=99, seed=0,
+                    host_stream=True)
+    res = fit(state, obj, (ro,), cfg)
+    assert all(np.isfinite(res.history["train_loss"]))
+    # no live device buffer anywhere near the dataset size exists
+    n_bytes = x.nbytes
+    big = [a for a in jax.live_arrays()
+           if a.size * a.dtype.itemsize >= n_bytes and a.shape[0] == len(x)]
+    assert not big, [a.shape for a in big]
+
+
+def test_host_stream_rejects_mesh():
+    from tpuvae.parallel import make_mesh
+
+    obj = simple_vae_objective(0.5)
+    state, x, _ = _host_stream_setup()
+    mesh = make_mesh((jax.device_count(),), ("data",))
+    with pytest.raises(ValueError, match="host_stream"):
+        fit(state, obj, (x,), FitConfig(epochs=1, host_stream=True),
+            mesh=mesh)

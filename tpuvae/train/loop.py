@@ -53,6 +53,13 @@ class FitConfig:
     # Worth ~the per-call dispatch overhead × (K-1) per chunk — dominant
     # for small models on remote-dispatch TPU setups.  Single-device only.
     scan_epochs: int = 1
+    # Keep train/val data on the HOST (numpy / np.memmap) and stream one
+    # batch at a time to the device: per-epoch HBM footprint is O(batch),
+    # not O(dataset), so datasets larger than device memory train with the
+    # same shuffle/RNG/remainder semantics as the in-graph epoch (the next
+    # batch is staged while the current step runs — dispatch is async).
+    # Incompatible with mesh= (the DP epoch shards device-resident data).
+    host_stream: bool = False
 
 
 @dataclasses.dataclass
@@ -98,6 +105,12 @@ def fit(
     """
     if cfg.monitor == "val" and val_data is None:
         raise ValueError("FitConfig.monitor='val' requires val_data")
+    if cfg.host_stream and mesh is not None:
+        raise ValueError(
+            "host_stream=True streams host batches to a single device; "
+            "it cannot be combined with mesh= (the DP epoch operates on "
+            "device-sharded data)"
+        )
     dp_axis = mesh.axis_names[0] if mesh is not None else None
     dp = mesh is not None and mesh.shape[dp_axis] > 1
     n = int(train_data[0].shape[0])
@@ -244,9 +257,66 @@ def fit(
             # per-device shuffles are drawn inside the shard_map from rng
             return dp_epoch(state, rng, *data)
 
-    if val_data is not None:
-        val_data = tuple(jnp.asarray(d) for d in val_data)
-    train_data = tuple(jnp.asarray(d) for d in train_data)
+    if cfg.host_stream:
+        # Datasets stay on the host (numpy / np.memmap); each epoch streams
+        # one batch at a time.  Batch composition, per-step RNG folds, and
+        # the ragged remainder are IDENTICAL to the in-graph epoch above,
+        # so results match the in-memory path — only the device footprint
+        # changes (O(batch_size), not O(n)).  The next batch is staged
+        # while the dispatched step runs (async dispatch overlaps the host
+        # gather + transfer with device compute).
+        jit_train_step = jax.jit(train_step)
+
+        @jax.jit
+        def _val_batch_loss(state: TrainState, batch, rng):
+            variables = {"params": state.params,
+                         "batch_stats": state.batch_stats}
+            loss, _, _ = loss_fn(state, variables, batch, rng, False)
+            return loss
+
+        def epoch_call(state, perm, rng, *data):  # noqa: F811
+            tdata = data[:n_train_arrays]
+            vdata = data[n_train_arrays:]
+            idx = np.asarray(perm)
+            bs = cfg.batch_size
+
+            def stage(rows):
+                return tuple(jnp.asarray(np.ascontiguousarray(d[rows]))
+                             for d in tdata)
+
+            loss_sum = jnp.float32(0.0)
+            nxt = stage(idx[: bs if steps else None]) if (steps or rem) else None
+            for i in range(steps):
+                batch, nxt = nxt, None
+                state, loss, _ = jit_train_step(
+                    state, batch, jax.random.fold_in(rng, i))
+                loss_sum = loss_sum + loss
+                if i + 1 < steps:
+                    nxt = stage(idx[(i + 1) * bs: (i + 2) * bs])
+                elif rem:
+                    nxt = stage(idx[steps * bs:])
+            if rem:
+                state, rloss, _ = jit_train_step(
+                    state, nxt, jax.random.fold_in(rng, steps))
+                loss_sum = loss_sum + rloss
+            val_total = jnp.float32(0.0)
+            if vdata:
+                vrng = jax.random.fold_in(rng, steps + 2)
+                for i in range(vsteps):
+                    vb = tuple(jnp.asarray(d[i * bs: (i + 1) * bs])
+                               for d in vdata)
+                    val_total = val_total + _val_batch_loss(
+                        state, vb, jax.random.fold_in(vrng, i))
+                if vrem:
+                    vb = tuple(jnp.asarray(d[vsteps * bs:]) for d in vdata)
+                    val_total = val_total + _val_batch_loss(
+                        state, vb, jax.random.fold_in(vrng, vsteps))
+            return state, loss_sum, val_total
+
+    if not cfg.host_stream:
+        if val_data is not None:
+            val_data = tuple(jnp.asarray(d) for d in val_data)
+        train_data = tuple(jnp.asarray(d) for d in train_data)
     all_data = train_data + (val_data if val_data is not None else ())
 
     history: dict[str, list[float]] = {"train_loss": [], "val_loss": [], "lr": []}
@@ -299,7 +369,7 @@ def fit(
             if logger is not None:
                 logger.log("resume_training", from_epoch=start_epoch)
 
-    if cfg.scan_epochs > 1 and not dp:
+    if cfg.scan_epochs > 1 and not dp and not cfg.host_stream:
         has_val = val_data is not None
         return _fit_chunked(
             state, cfg, epoch_call, all_data, n, n_batches,
@@ -310,8 +380,10 @@ def fit(
             plateau_best=plateau_best, plateau_counter=plateau_counter,
             start_epoch=start_epoch, rng=rng, t0=t0,
         )
-    if cfg.scan_epochs > 1 and dp and logger is not None:
-        logger.log("scan_epochs_ignored", reason="dp mesh epoch active")
+    if cfg.scan_epochs > 1 and (dp or cfg.host_stream) and logger is not None:
+        logger.log("scan_epochs_ignored",
+                   reason="dp mesh epoch active" if dp
+                   else "host_stream epoch active")
 
     for epoch in range(start_epoch, cfg.epochs):
         ep_rng = jax.random.fold_in(rng, epoch)
