@@ -224,3 +224,28 @@ def test_run_parity_end_to_end_on_tiny_corpus(preprocessed, small_cluster_cfg,
     assert set(a["Architecture"]) == {
         "Simple VAE", "Conditional VAE", "Convolutional VAE",
     }
+
+
+def test_hybrid_pipeline_host_stream_matches(preprocessed, small_cluster_cfg,
+                                             tmp_path):
+    """cfg.host_stream=True (memmapped mels, streamed batches) must land on
+    the same sweep decisions and metrics as the in-memory pipeline."""
+    from tpuvae.pipelines import run_hybrid_vae
+
+    corpus, _, _ = preprocessed
+    base = dict(epochs=2, patience=50, batch_size=8)
+    df_mem = run_hybrid_vae(
+        str(corpus / "processed_data2"), str(tmp_path / "r_mem"),
+        HybridVAEConfig(**base), small_cluster_cfg,
+        logger=RunLogger(echo=False), make_plots=False,
+    )
+    df_str = run_hybrid_vae(
+        str(corpus / "processed_data2"), str(tmp_path / "r_str"),
+        HybridVAEConfig(**base, host_stream=True), small_cluster_cfg,
+        logger=RunLogger(echo=False), make_plots=False,
+    )
+    # identical K/eps selections (the algorithm names embed them)
+    assert list(df_str["Algorithm"]) == list(df_mem["Algorithm"])
+    for col in ("Silhouette", "Davies-Bouldin", "ARI"):
+        np.testing.assert_allclose(df_str[col].astype(float),
+                                   df_mem[col].astype(float), atol=0.01)

@@ -190,6 +190,10 @@ class ConditionalVAEConfig(_ConfigBase):
     patience: int = 20
     val_fraction: float = 0.15
     scan_epochs: int = 4             # epochs per device call (see SimpleVAEConfig)
+    # memory-map the mel tensor and stream one batch per step
+    # (FitConfig.host_stream): O(batch) host RAM + HBM instead of O(N);
+    # for datasets larger than device/host memory.  Disables scan_epochs.
+    host_stream: bool = False
     # periodic durable full-train-state checkpoints (0 = off); written to
     # <results_dir>/<Architecture>/checkpoints with CheckpointManager rotation
     checkpoint_every: int = 0
@@ -213,6 +217,10 @@ class HybridVAEConfig(_ConfigBase):
     patience: int = 15
     val_fraction: float = 0.15
     scan_epochs: int = 4             # epochs per device call (see SimpleVAEConfig)
+    # memory-map the mel tensor and stream one batch per step
+    # (FitConfig.host_stream): O(batch) host RAM + HBM instead of O(N);
+    # for datasets larger than device/host memory.  Disables scan_epochs.
+    host_stream: bool = False
     # periodic durable full-train-state checkpoints (0 = off); written to
     # <results_dir>/<Architecture>/checkpoints with CheckpointManager rotation
     checkpoint_every: int = 0

@@ -91,10 +91,14 @@ def load_basic(data_dir) -> dict:
     }
 
 
-def load_advanced(data_dir) -> dict:
+def load_advanced(data_dir, mmap: bool = False) -> dict:
+    """Load the processed_data2 contract.  ``mmap=True`` memory-maps the
+    big mel tensor (for streamed training, ``FitConfig.host_stream``);
+    the small arrays load eagerly either way."""
     d = Path(data_dir)
     return {
-        "mel": np.load(d / "mel_spectrograms_normalized.npy"),
+        "mel": np.load(d / "mel_spectrograms_normalized.npy",
+                       mmap_mode="r" if mmap else None),
         "text": np.load(d / "lyrics_embeddings.npy"),
         "handcrafted": np.load(d / "features_normalized.npy"),
         "labels": np.load(d / "labels.npy", allow_pickle=True),

@@ -581,8 +581,14 @@ def run_conditional_vae(
     mesh: MeshContext | None = None,
 ) -> pd.DataFrame:
     logger = logger or RunLogger()
-    data = load_advanced(data_dir)
-    mel = np.asarray(data["mel"], np.float32)[..., None]      # NHWC
+    stream = bool(getattr(cfg, "host_stream", False))
+    data = load_advanced(data_dir, mmap=stream)
+    if stream:
+        from tpuvae.utils import RowView
+
+        mel = RowView(data["mel"], add_channel=True)          # NHWC, lazy
+    else:
+        mel = np.asarray(data["mel"], np.float32)[..., None]  # NHWC
     text = np.asarray(data["text"], np.float32)
     handcrafted = np.asarray(data["handcrafted"], np.float32)
     metadata = data["metadata"]
@@ -607,13 +613,20 @@ def run_conditional_vae(
     fit_cfg = FitConfig(
         epochs=cfg.epochs, batch_size=cfg.batch_size, patience=cfg.patience,
         monitor="val", restore_best=False, seed=cfg.seed,
-        scan_epochs=cfg.scan_epochs,
+        scan_epochs=cfg.scan_epochs, host_stream=stream,
         **_ckpt_kwargs(cfg, f"{results_dir}/Conditional_VAE/checkpoints"),
     )
+    if stream:
+        from tpuvae.utils import RowView
+
+        mel_tr, mel_va = (RowView(data["mel"], r, add_channel=True)
+                          for r in (tr, va))
+    else:
+        mel_tr, mel_va = mel[tr], mel[va]
     res = fit(
         state, cvae_objective(cfg.beta, cfg.text_loss_weight),
-        (mel[tr], text[tr], cond[tr]), fit_cfg,
-        val_data=(mel[va], text[va], cond[va]), logger=logger,
+        (mel_tr, text[tr], cond[tr]), fit_cfg,
+        val_data=(mel_va, text[va], cond[va]), logger=logger,
         mesh=_fit_mesh(mesh, cfg.batch_size, logger), loss_reduction="sum",
     )
 
@@ -680,7 +693,7 @@ def run_conditional_vae(
             jnp.asarray(cond[:1]), rng, train=False,
         )
         reconstruction_pair(
-            mel[0, :, :, 0], np.asarray(ra)[0, :, :, 0],
+            np.asarray(mel[:1])[0, :, :, 0], np.asarray(ra)[0, :, :, 0],
             f"{results_dir}/Conditional_VAE/reconstruction.png",
         )
         xy = tsne(z_cvae, perplexity=ccfg.tsne_perplexity, seed=ccfg.seed)
@@ -707,8 +720,16 @@ def run_hybrid_vae(
     mesh: MeshContext | None = None,
 ) -> pd.DataFrame:
     logger = logger or RunLogger()
-    data = load_advanced(data_dir)
-    mel = np.asarray(data["mel"], np.float32)[..., None]
+    stream = bool(getattr(cfg, "host_stream", False))
+    data = load_advanced(data_dir, mmap=stream)
+    if stream:
+        # the big mel tensor stays on disk (memmap); RowView lazily adds
+        # the channel axis and applies the split per streamed batch
+        from tpuvae.utils import RowView
+
+        mel = RowView(data["mel"], add_channel=True)
+    else:
+        mel = np.asarray(data["mel"], np.float32)[..., None]
     text = np.asarray(data["text"], np.float32)
     metadata = data["metadata"]
     y_genre, genre_names = encode_labels(metadata["genre"].values)
@@ -729,12 +750,20 @@ def run_hybrid_vae(
         epochs=cfg.epochs, batch_size=cfg.batch_size, patience=cfg.patience,
         monitor="val", restore_best=False, loss_normalizer="per_dataset",
         seed=cfg.seed, log_every=1, scan_epochs=cfg.scan_epochs,
+        host_stream=stream,
         **_ckpt_kwargs(cfg, f"{results_dir}/Convolutional_VAE/checkpoints"),
     )
+    if stream:
+        from tpuvae.utils import RowView
+
+        mel_tr, mel_va = (RowView(data["mel"], r, add_channel=True)
+                          for r in (tr, va))
+    else:
+        mel_tr, mel_va = mel[tr], mel[va]
     res = fit(
         state, hybrid_objective(cfg.beta, cfg.text_loss_weight),
-        (mel[tr], text[tr]), fit_cfg,
-        val_data=(mel[va], text[va]), logger=logger,
+        (mel_tr, text[tr]), fit_cfg,
+        val_data=(mel_va, text[va]), logger=logger,
         mesh=_fit_mesh(mesh, cfg.batch_size, logger), loss_reduction="sum",
     )
     if make_plots:
