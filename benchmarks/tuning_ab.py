@@ -62,7 +62,10 @@ def main():
             r, cfg.n_fft, cfg.hop_length, sr=cfg.sample_rate,
             n_mels=cfg.n_mels, exact=False, num_samples=nsamp,
         )
-        return fe.power, fe.colmax
+        # the production tuning feed is the PADDED bin-order power +
+        # padded colmax (lane-aligned Tp — the manual-DMA kernel requires
+        # 128-aligned trailing dims); n_frames masks the pad columns
+        return fe.power_padded, fe.colmax_padded
 
     power, colmax = front(rows)
     power.block_until_ready()

@@ -133,23 +133,29 @@ def _tuning_body(s, refmax, fmask, binsb, edges, n_frames: int, n_valid: int,
     assert median_bits in (1, 2, 4, 8), median_bits
     radix = 1 << median_bits
     want = k_lo + 1
-    prefix = jnp.uint32(0)
+    # Scalar bookkeeping stays in int32 bit patterns: Mosaic's tpu.bitcast
+    # only accepts vectors, so the uint32 prefix/threshold scalars can't be
+    # bitcast per round.  ``prefix_r`` holds the raw unsigned prefix bits
+    # (int32 adds wrap identically), and the biased-int comparison key
+    # ``bitcast(u ^ 0x80000000)`` equals ``u + INT_MIN`` in wrapping i32
+    # arithmetic — adding 2^31 toggles only the sign bit.
+    sign_flip = jnp.int32(-(1 << 31))
+
+    def _wrap_i32(v: int) -> jnp.ndarray:
+        return jnp.int32(v - (1 << 32) if v >= (1 << 31) else v)
+
+    prefix_r = jnp.int32(0)
     for rnd in range(32 // median_bits):
         shift = 32 - median_bits * (rnd + 1)
         counts = []
         for j in range(radix - 1):
-            thr_u = prefix + jnp.uint32(((j + 1) << shift) - 1)
-            thr_i = jax.lax.bitcast_convert_type(
-                thr_u ^ jnp.uint32(0x80000000), jnp.int32
-            )
+            thr_i = prefix_r + _wrap_i32(((j + 1) << shift) - 1) + sign_flip
             counts.append(jnp.sum((ikey <= thr_i).astype(jnp.int32)))
         digit = sum(
-            (c < want).astype(jnp.uint32) for c in counts
+            (c < want).astype(jnp.int32) for c in counts
         )
-        prefix = prefix | (digit << shift)
-    klo_i = jax.lax.bitcast_convert_type(
-        prefix ^ jnp.uint32(0x80000000), jnp.int32
-    )
+        prefix_r = prefix_r | (digit << shift)
+    klo_i = prefix_r + sign_flip
     cnt_le = jnp.sum((ikey <= klo_i).astype(jnp.int32))
     knext_i = jnp.min(jnp.where(ikey > klo_i, ikey, jnp.int32(_I32_MAX)))
 
@@ -194,29 +200,33 @@ def _tuning_body(s, refmax, fmask, binsb, edges, n_frames: int, n_valid: int,
         # chunk words are widened to the 8-bit-field layout (two masked
         # shifts over (1, T)) and summed across chunks (total <= ceil(R/2)
         # <= 255, the packable bound — no inter-field carry).
+        # NB all packing arithmetic runs in int32: Mosaic has no lowering
+        # for reductions over unsigned ints on real TPU, and two's-complement
+        # addition gives bit-identical words; field extraction uses logical
+        # (not arithmetic) right shifts so a wrapped sign bit can't smear.
         n_words = -(-n_bins // 8)
         pad_bucket = 8 * n_words                  # maps to word n_words: none
         bucket_i = jnp.where(sel, bucket, float(pad_bucket)).astype(jnp.int32)
         q = bucket_i >> 3
         f = bucket_i & 7
         low = jnp.where(
-            (f & 3) == 0, jnp.uint32(1),
-            jnp.where((f & 3) == 1, jnp.uint32(1 << 4),
-                      jnp.where((f & 3) == 2, jnp.uint32(1 << 8),
-                                jnp.uint32(1 << 12))),
+            (f & 3) == 0, jnp.int32(1),
+            jnp.where((f & 3) == 1, jnp.int32(1 << 4),
+                      jnp.where((f & 3) == 2, jnp.int32(1 << 8),
+                                jnp.int32(1 << 12))),
         )
-        sv = jnp.where(f >= 4, low << jnp.uint32(16), low)
-        zero_u = jnp.uint32(0)
-        nib = jnp.uint32(0x0F0F0F0F)
+        sv = jnp.where(f >= 4, low << jnp.int32(16), low)
+        zero_i = jnp.int32(0)
+        nib = jnp.int32(0x0F0F0F0F)
         acc_lo = [None] * n_words                 # fields 0,2,4,6 as bytes
         acc_hi = [None] * n_words                 # fields 1,3,5,7 as bytes
         for r0 in range(0, n_rows, 30):
             qc, svc = q[r0 : r0 + 30], sv[r0 : r0 + 30]
             for w in range(n_words):
-                word = jnp.sum(jnp.where(qc == w, svc, zero_u),
+                word = jnp.sum(jnp.where(qc == w, svc, zero_i),
                                axis=0, keepdims=True)      # (1, T)
                 lo = word & nib
-                hi = (word >> jnp.uint32(4)) & nib
+                hi = jax.lax.shift_right_logical(word, jnp.int32(4)) & nib
                 acc_lo[w] = lo if acc_lo[w] is None else acc_lo[w] + lo
                 acc_hi[w] = hi if acc_hi[w] is None else acc_hi[w] + hi
         fields = []
@@ -226,34 +236,40 @@ def _tuning_body(s, refmax, fmask, binsb, edges, n_frames: int, n_valid: int,
                     break
                 src = acc_lo[w] if ff % 2 == 0 else acc_hi[w]
                 fields.append(jnp.sum(
-                    (src >> jnp.uint32(8 * (ff // 2))) & jnp.uint32(0xFF),
+                    jax.lax.shift_right_logical(
+                        src, jnp.int32(8 * (ff // 2))) & jnp.int32(0xFF),
                     axis=1, keepdims=True,
                 ).astype(jnp.float32))
         counts = jnp.concatenate(fields, axis=0)   # (n_bins, 1)
     elif packable:
+        # int32 bit-pattern arithmetic (see the chunked branch above): the
+        # per-word column total can wrap past 2^31, but int32 wraparound is
+        # bit-identical to the uint32 sum and the logical shift/mask field
+        # extraction never reads the sign.
         n_words = -(-n_bins // 4)
         pad_bucket = 4 * n_words                  # maps to word n_words: none
         bucket_i = jnp.where(sel, bucket, float(pad_bucket)).astype(jnp.int32)
         q = bucket_i >> 2
         f = bucket_i & 3
         sv = jnp.where(
-            f == 0, jnp.uint32(1),
-            jnp.where(f == 1, jnp.uint32(1 << 8),
-                      jnp.where(f == 2, jnp.uint32(1 << 16),
-                                jnp.uint32(1 << 24))),
+            f == 0, jnp.int32(1),
+            jnp.where(f == 1, jnp.int32(1 << 8),
+                      jnp.where(f == 2, jnp.int32(1 << 16),
+                                jnp.int32(1 << 24))),
         )
-        zero_u = jnp.uint32(0)
+        zero_i = jnp.int32(0)
         words = [
-            jnp.sum(jnp.where(q == w, sv, zero_u), axis=0, keepdims=True)
+            jnp.sum(jnp.where(q == w, sv, zero_i), axis=0, keepdims=True)
             for w in range(n_words)
-        ]                                          # each (1, T) uint32
+        ]                                          # each (1, T) int32 word
         fields = []
         for w in range(n_words):
             for ff in range(4):
                 if 4 * w + ff >= n_bins:
                     break
                 fields.append(jnp.sum(
-                    (words[w] >> jnp.uint32(8 * ff)) & jnp.uint32(0xFF),
+                    jax.lax.shift_right_logical(
+                        words[w], jnp.int32(8 * ff)) & jnp.int32(0xFF),
                     axis=1, keepdims=True,
                 ).astype(jnp.float32))
         counts = jnp.concatenate(fields, axis=0)   # (n_bins, 1)
