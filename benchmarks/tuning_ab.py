@@ -63,8 +63,9 @@ def main():
             n_mels=cfg.n_mels, exact=False, num_samples=nsamp,
         )
         # the production tuning feed is the PADDED bin-order power +
-        # padded colmax (lane-aligned Tp — the manual-DMA kernel requires
-        # 128-aligned trailing dims); n_frames masks the pad columns
+        # padded colmax (lane-aligned Tp — padding avoids the strided
+        # row-by-row DMAs the kernel falls back to on unaligned trailing
+        # dims); n_frames masks the pad columns
         return fe.power_padded, fe.colmax_padded
 
     power, colmax = front(rows)
