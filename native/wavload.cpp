@@ -214,12 +214,13 @@ std::vector<float> resample(const std::vector<float>& in, int sr_in,
 
 }  // namespace
 
-extern "C" {
+namespace {
 
-// Decode + mono + resample + truncate/pad.  Returns 0 on success.
-// out must hold out_len floats (= target_sr * duration).
-int tpuvae_load_audio(const char* path, int target_sr, double duration,
-                      float* out, int64_t out_len) try {
+// Decode + mono + resample + truncate/pad into out[0..out_len).  The body
+// of tpuvae_load_audio, factored out so tpuvae_load_audio_rows can write
+// the samples at an offset inside a larger (pre-rowed) destination.
+int load_audio_into(const char* path, int target_sr, double duration,
+                    float* out, int64_t out_len) try {
   WavData w;
   // dispatch on container magic, not extension
   bool decoded = false;
@@ -252,6 +253,14 @@ int tpuvae_load_audio(const char* path, int target_sr, double duration,
         size_t(std::llround(duration * double(w.sample_rate)));
     if (mono.size() > keep) mono.resize(keep);
   }
+  if (w.sample_rate == target_sr) {
+    // already at rate: place directly, skipping resample()'s return copy
+    const size_t n = size_t(out_len);
+    const size_t have = mono.size() < n ? mono.size() : n;
+    std::memcpy(out, mono.data(), have * sizeof(float));
+    if (have < n) std::memset(out + have, 0, (n - have) * sizeof(float));
+    return 0;
+  }
   std::vector<float> res = resample(mono, w.sample_rate, target_sr);
   const size_t n = size_t(out_len);
   for (size_t i = 0; i < n; ++i) out[i] = (i < res.size()) ? res[i] : 0.0f;
@@ -259,6 +268,35 @@ int tpuvae_load_audio(const char* path, int target_sr, double duration,
 } catch (...) {
   // never let bad_alloc etc. cross the C ABI into the Python process
   return 2;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode + mono + resample + truncate/pad.  Returns 0 on success.
+// out must hold out_len floats (= target_sr * duration).
+int tpuvae_load_audio(const char* path, int target_sr, double duration,
+                      float* out, int64_t out_len) {
+  return load_audio_into(path, target_sr, duration, out, out_len);
+}
+
+// Decode one clip directly into a pre-rowed STFT destination: zeros
+// [0, offset), the decoded clip at [offset, offset + sr*duration), zeros
+// up to total_len.  total_len/offset come from the hop-row geometry
+// (tpuvae.ops.stft.ct_hop_rows_geometry: total_len = n_rows*hop, offset =
+// n_fft//2), so a loader thread fills one row of the device batch buffer
+// in a single pass — no intermediate clip array, no host re-stack.
+int tpuvae_load_audio_rows(const char* path, int target_sr, double duration,
+                           float* out, int64_t total_len, int64_t offset) {
+  if (offset < 0 || offset > total_len) return 3;
+  int64_t n = int64_t(std::llround(double(target_sr) * duration));
+  if (n > total_len - offset) n = total_len - offset;
+  std::memset(out, 0, size_t(offset) * sizeof(float));
+  const int rc = load_audio_into(path, target_sr, duration, out + offset, n);
+  std::memset(out + offset + n, 0,
+              size_t(total_len - offset - n) * sizeof(float));
+  return rc;
 }
 
 // Batch variant: decode `count` paths (NUL-separated) into a contiguous
@@ -276,5 +314,5 @@ int tpuvae_load_audio_batch(const char* paths, int count, int target_sr,
   return 0;
 }
 
-int tpuvae_native_version() { return 1; }
+int tpuvae_native_version() { return 2; }
 }

@@ -60,3 +60,37 @@ def test_load_audio_prefers_native(wav_44k, monkeypatch):
     monkeypatch.setenv("TPUVAE_DISABLE_NATIVE", "1")
     c = load_audio(p, 22050, 1.0, prefer_native=True)
     np.testing.assert_array_equal(b, c)
+
+
+def test_rows_loader_matches_prerow_python(wav_44k, tmp_path):
+    """Native decode-into-rows == Python decode + waveform_to_hop_rows_np,
+    for both the resample (44.1k) and the identity (22.05k) rate paths."""
+    from tpuvae.ops.stft import ct_hop_rows_geometry, waveform_to_hop_rows_np
+
+    if not native_loader.rows_loader_available():
+        pytest.skip("rows loader needs native version >= 2")
+    p44, y, _ = wav_44k
+    p22 = tmp_path / "t22.wav"
+    write_wav(p22, y[: 22050 * 2 : 2], 22050)
+    for p in (p44, p22):
+        wav = load_audio(p, 22050, 1.0)
+        want = waveform_to_hop_rows_np(wav, 2048, 512)
+        dest = np.full(want.size, np.nan, np.float32)  # poison: all written?
+        native_loader.load_audio_into_native(p, dest, 22050, 1.0,
+                                             offset=2048 // 2)
+        got = dest.reshape(want.shape)
+        assert np.isfinite(got).all()
+        np.testing.assert_allclose(got, want, atol=1e-5)
+        # zero lead (center pad) and zero tail beyond the clip
+        n_rows, hop = ct_hop_rows_geometry(2048, 512, 22050)
+        assert (got.reshape(-1)[: 1024] == 0).all()
+        assert (got.reshape(-1)[1024 + 22050:] == 0).all()
+
+
+def test_rows_loader_raises_on_missing_file(tmp_path):
+    if not native_loader.rows_loader_available():
+        pytest.skip("rows loader needs native version >= 2")
+    dest = np.empty(4096, np.float32)
+    with pytest.raises(IOError):
+        native_loader.load_audio_into_native(
+            tmp_path / "missing.wav", dest, 22050, 0.1, offset=64)

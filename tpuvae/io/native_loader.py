@@ -40,10 +40,14 @@ def _get_lib():
         return _lib
     try:
         lib_path = _find_lib_path()
-        if not lib_path.exists() and lib_path.parent == _NATIVE_DIR:
+        if lib_path.parent == _NATIVE_DIR:
+            # make is a ~20 ms no-op when fresh; running it unconditionally
+            # means edits to native/*.cpp are picked up without a manual
+            # rebuild (the Makefile tracks the source dependencies)
             subprocess.run(
                 ["make", "-C", str(_NATIVE_DIR)],
-                check=True, capture_output=True, timeout=120,
+                check=lib_path.exists() is False, capture_output=True,
+                timeout=120,
             )
         lib = ctypes.CDLL(str(lib_path))
         lib.tpuvae_load_audio.restype = ctypes.c_int
@@ -57,6 +61,13 @@ def _get_lib():
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int),
         ]
+        if hasattr(lib, "tpuvae_load_audio_rows"):  # native version >= 2
+            lib.tpuvae_load_audio_rows.restype = ctypes.c_int
+            lib.tpuvae_load_audio_rows.argtypes = [
+                ctypes.c_char_p, ctypes.c_int, ctypes.c_double,
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+                ctypes.c_int64,
+            ]
         _lib = lib
     except Exception:
         _build_failed = True
@@ -105,3 +116,30 @@ def load_audio_batch_native(paths, sample_rate: int = 22050,
         status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
     )
     return out, status
+
+
+def load_audio_into_native(path, dest: np.ndarray, sample_rate: int = 22050,
+                           duration: float = 30.0, offset: int = 0) -> None:
+    """Decode one clip straight into ``dest`` (a flat, C-contiguous float32
+    view — typically one row of a preallocated device batch buffer): zeros
+    before ``offset``, the clip at ``[offset, offset + sr*duration)``, zeros
+    after.  Fuses decode + center-pad + hop-row placement into one native
+    pass (no intermediate clip array, no host re-stack).  Raises on decode
+    failure; requires native version >= 2."""
+    lib = _get_lib()
+    if lib is None or not hasattr(lib, "tpuvae_load_audio_rows"):
+        raise RuntimeError("native rows loader unavailable")
+    assert dest.dtype == np.float32 and dest.flags.c_contiguous, dest.dtype
+    rc = lib.tpuvae_load_audio_rows(
+        str(path).encode(), sample_rate, float(duration),
+        dest.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        dest.size, int(offset),
+    )
+    if rc != 0:
+        raise IOError(f"native decode failed for {path} (rc={rc})")
+
+
+def rows_loader_available() -> bool:
+    if not native_available():
+        return False
+    return hasattr(_get_lib(), "tpuvae_load_audio_rows")

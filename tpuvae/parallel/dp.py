@@ -29,7 +29,7 @@ from tpuvae.train.state import TrainState
 try:  # jax>=0.8 top-level; older releases: experimental
     shard_map = jax.shard_map
 except AttributeError:  # pragma: no cover
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
 
 def make_dp_train_step(loss_fn, mesh: Mesh, axis: str = "data"):

@@ -96,116 +96,139 @@ from tpuvae.viz import (
 # Shared extraction driver
 # -----------------------------------------------------------------------------
 
-def _prefetch_loaded(entries, load_one, window: int):
-    """Yield ``(entry, result_or_exception)`` in order, decoding up to
-    ``window`` clips ahead on a thread pool.
-
-    Host WAV decode runs concurrently with the (remote) device extraction
-    of the previous batch — the pipelined analog of the reference's joblib
-    worker pool (``1_preprocessing_advanced.py:286-288``).  The window
-    bounds host memory (``window`` decoded clips in flight).
-    """
-    from collections import deque
-    from concurrent.futures import ThreadPoolExecutor
-
-    workers = max(1, min(8, (os.cpu_count() or 1)))
-    with ThreadPoolExecutor(max_workers=workers) as pool:
-        pending: deque = deque()
-        it = iter(entries)
-        try:
-            while True:
-                while len(pending) < window:
-                    try:
-                        e = next(it)
-                    except StopIteration:
-                        raise
-                    pending.append((e, pool.submit(load_one, e)))
-                e, fut = pending.popleft()
-                yield e, fut
-        except StopIteration:
-            while pending:
-                e, fut = pending.popleft()
-                yield e, fut
+def _loader_workers() -> int:
+    """Decode-pool width: ``TPUVAE_LOADER_THREADS`` override, else one
+    thread per core up to 32 (decode is native code that releases the GIL,
+    so threads scale on multi-core hosts)."""
+    env = os.environ.get("TPUVAE_LOADER_THREADS")
+    if env:
+        return max(1, int(env))
+    return max(1, min(32, (os.cpu_count() or 1)))
 
 
 def _extraction_setup(extract_kind_fn, cfg):
-    """``(jit extract_fn, loader transform)`` for a preprocess config.
+    """``(jit extract_fn, per-clip row shape, sample offset)``.
 
-    On TPU with the fused CT STFT kernel the loader threads pre-row each
-    decoded clip into the kernel's padded ``(n_rows, hop)`` layout
-    (:func:`tpuvae.ops.stft.ct_hop_rows_geometry`) so the device never pays
-    the waveform pad + tile-relayout pass (~2 ms per 128-clip batch).
+    On TPU with the fused CT STFT kernel the loader threads decode each
+    clip directly into the kernel's padded ``(n_rows, hop)`` layout
+    (:func:`tpuvae.ops.stft.ct_hop_rows_geometry`) at flat offset
+    ``n_fft//2``, so the device never pays the waveform pad +
+    tile-relayout pass and the host never re-stacks the batch.
     """
     from tpuvae.dsp import resolve_numerics
 
+    # int() truncation, matching load_audio's clip-length convention
+    nsamp = int(cfg.sample_rate * cfg.duration)
     _, method = resolve_numerics(cfg)
     if method == "ct_pallas":
-        from tpuvae.ops.stft import waveform_to_hop_rows_np
+        from tpuvae.ops.stft import ct_hop_rows_geometry
 
-        # int() truncation, matching load_audio's clip-length convention
-        nsamp = int(cfg.sample_rate * cfg.duration)
         extract = jit_extractor(extract_kind_fn, cfg, num_samples=nsamp)
-        return extract, lambda y: waveform_to_hop_rows_np(
-            np.asarray(y), cfg.n_fft, cfg.hop_length)
-    return jit_extractor(extract_kind_fn, cfg), None
+        return extract, ct_hop_rows_geometry(cfg.n_fft, cfg.hop_length,
+                                             nsamp), cfg.n_fft // 2
+    return jit_extractor(extract_kind_fn, cfg), (nsamp,), 0
 
 
 def _extract_batched(entries, extract_fn, cfg, mesh: MeshContext,
                      logger: RunLogger | None = None,
                      manifest=None, shard_keys: tuple = ("out",),
-                     load_transform=None):
-    """Load clips host-side in batches, extract on device, skip-and-tally
-    failures (ref per-file try/except, ``1_preprocessing.py:237-256``).
+                     row_shape: tuple | None = None, sample_offset: int = 0):
+    """Decode clips into preallocated batch buffers on a thread pool,
+    extract on device, skip-and-tally failures (ref per-file try/except,
+    ``1_preprocessing.py:237-256``).
+
+    The host side is a zero-restack pipeline: loader threads write each
+    clip straight into its slot of a rotating (bs, *row_shape) float32
+    buffer — through the native rows loader when available (decode +
+    center-pad + placement fused in one C++ pass) — and the whole buffer
+    is device_put as-is.  One batch decodes while the previous batch's
+    device extraction is in flight (the pipelined analog of the
+    reference's joblib pool, ``1_preprocessing_advanced.py:286-288``).
 
     With a ``manifest`` (tpuvae.io.resume.ExtractionManifest), each flushed
     batch is persisted as a shard so interrupted runs resume.
     """
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+    from itertools import islice
+
+    from tpuvae.io.native_loader import (
+        load_audio_into_native,
+        rows_loader_available,
+    )
+
+    nsamp = int(cfg.sample_rate * cfg.duration)
+    if row_shape is None:
+        row_shape = (nsamp,)
     bs = cfg.extract_batch
     # sharded dim 0 must divide the mesh's data axis
     bs_padded = -(-bs // mesh.n_devices) * mesh.n_devices
+    # 3 rotating buffers: one on device (transfer may still be reading it),
+    # one being processed, one being decoded into
+    bufs = [np.zeros((bs_padded,) + tuple(row_shape), np.float32)
+            for _ in range(3)]
+    use_native = rows_loader_available()
     ok_entries, outputs, failed = [], [], []
-    buf, buf_entries = [], []
 
-    def flush():
-        if not buf:
+    def load_slot(e, dest):
+        flat = dest.reshape(-1)
+        if use_native:
+            load_audio_into_native(e.path, flat, cfg.sample_rate,
+                                   cfg.duration, sample_offset)
+        else:
+            y = load_audio(e.path, cfg.sample_rate, cfg.duration)
+            flat[:sample_offset] = 0.0
+            flat[sample_offset:sample_offset + nsamp] = y
+            flat[sample_offset + nsamp:] = 0.0
+
+    def process(chunk, buf, futures):
+        kept = []
+        for j, (e, fut) in enumerate(zip(chunk, futures)):
+            try:
+                fut.result()
+            except Exception as exc:  # skip-and-tally contract
+                failed.append((e.path, str(exc)))
+                continue
+            k = len(kept)
+            if k != j:          # compact over failed slots (rare)
+                buf[k] = buf[j]
+            kept.append(e)
+        if not kept:
             return
-        batch = np.stack(buf)
-        pad = bs_padded - len(buf)
-        if pad:
-            batch = np.pad(batch, ((0, pad),) + ((0, 0),) * (batch.ndim - 1))
         arr = jax.device_put(
-            batch, batch_sharding(mesh.mesh, batch.ndim, mesh.axis)
+            buf, batch_sharding(mesh.mesh, buf.ndim, mesh.axis)
         )
         out = extract_fn(arr)
         out_list = out if isinstance(out, tuple) else (out,)
-        out_list = tuple(np.asarray(o)[: len(buf)] for o in out_list)
+        out_list = tuple(np.asarray(o)[: len(kept)] for o in out_list)
         if manifest is not None:
             # shards on disk are the source of truth; don't hold a second
             # in-RAM copy of the whole dataset
             manifest.add_shard(
-                [e.file_id for e in buf_entries], dict(zip(shard_keys, out_list))
+                [e.file_id for e in kept], dict(zip(shard_keys, out_list))
             )
         else:
             outputs.append(out_list)
-        ok_entries.extend(buf_entries)
-        buf.clear()
-        buf_entries.clear()
+        ok_entries.extend(kept)
 
-    def load_one(e):
-        y = load_audio(e.path, cfg.sample_rate, cfg.duration)
-        return load_transform(y) if load_transform is not None else y
-
-    for e, fut in _prefetch_loaded(entries, load_one, window=bs + bs // 2):
-        try:
-            y = fut.result()
-        except Exception as exc:  # skip-and-tally contract
-            failed.append((e.path, str(exc)))
-            continue
-        buf.append(y)
-        buf_entries.append(e)
-        if len(buf) == bs:
-            flush()
-    flush()
+    it = iter(entries)
+    pending: deque = deque()
+    ci = 0
+    with ThreadPoolExecutor(max_workers=_loader_workers()) as pool:
+        while True:
+            while len(pending) < 2:
+                chunk = list(islice(it, bs))
+                if not chunk:
+                    break
+                buf = bufs[ci % len(bufs)]
+                ci += 1
+                pending.append((chunk, buf, [
+                    pool.submit(load_slot, e, buf[j])
+                    for j, e in enumerate(chunk)
+                ]))
+            if not pending:
+                break
+            process(*pending.popleft())
     if logger:
         logger.log("extract", ok=len(ok_entries), failed=len(failed))
     return ok_entries, outputs, failed
@@ -249,12 +272,12 @@ def preprocess_basic(
         pending = manifest.filter_pending(entries)
         if len(pending) < len(entries):
             logger.log("resume", already_done=len(entries) - len(pending))
-    extract, load_tf = _extraction_setup(extract_basic_features, cfg)
+    extract, row_shape, offset = _extraction_setup(extract_basic_features, cfg)
     with timer.stage("extract_basic", items=len(pending)):
         ok, outs, failed = _extract_batched(
             pending, extract, cfg, mesh, logger,
             manifest=manifest, shard_keys=("features",),
-            load_transform=load_tf,
+            row_shape=row_shape, sample_offset=offset,
         )
     if manifest is not None:
         ids, arrays = manifest.load_all()
@@ -323,12 +346,12 @@ def preprocess_advanced(
         pending = manifest.filter_pending(entries)
         if len(pending) < len(entries):
             logger.log("resume", already_done=len(entries) - len(pending))
-    extract, load_tf = _extraction_setup(extract_advanced, cfg)
+    extract, row_shape, offset = _extraction_setup(extract_advanced, cfg)
     with timer.stage("extract_advanced", items=len(pending)):
         ok, outs, failed = _extract_batched(
             pending, extract, cfg, mesh, logger,
             manifest=manifest, shard_keys=("mel", "flat"),
-            load_transform=load_tf,
+            row_shape=row_shape, sample_offset=offset,
         )
     streaming = False
     if manifest is not None:
