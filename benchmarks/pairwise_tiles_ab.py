@@ -54,9 +54,15 @@ def main():
         t_einsum = timed(squared_distances, x, x)
         rows.append(("einsum", t_einsum))
         for tn, tm in at.pairwise_tile_candidates(n, n, dp)[:8]:
-            t = timed(
-                lambda: squared_distances_pallas(x, x, tile_n=tn, tile_m=tm)
-            )
+            try:
+                t = timed(
+                    lambda: squared_distances_pallas(x, x, tile_n=tn,
+                                                     tile_m=tm)
+                )
+            except Exception as e:  # noqa: BLE001 — e.g. scoped-vmem OOM
+                log(f"  pallas {tn}x{tm}: FAILED ({type(e).__name__}: "
+                    f"{str(e).splitlines()[0][:100]})")
+                continue
             rows.append((f"pallas {tn}x{tm}", t))
         rows.sort(key=lambda r: r[1])
         pick = at.pairwise_tiles_analytic(n, n, dp)

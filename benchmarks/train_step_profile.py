@@ -56,25 +56,15 @@ def aggregate_trace(trace_dir: str, top: int = 25) -> None:
         print(f"  {us / 1e3:9.3f} ms  x{counts[name]:<5d} {name[:110]}")
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--dtype", default="bfloat16")
-    ap.add_argument("--batch", type=int, default=32)
-    ap.add_argument("--trace", action="store_true")
-    ap.add_argument("--reps", type=int, default=10)
-    ap.add_argument("--model", default="hybrid", choices=["hybrid", "cvae",
-                                                          "simple"])
-    args = ap.parse_args()
-
+def build_train_setup(model_name: str, dtype_name: str, batch: int = 32):
+    """Jitted train step + state + pipelined input batches at the reference
+    geometry for one of the three model families.  Returns
+    ``(train_step, state, batches, key)`` — shared by this profiler and by
+    ``bench.py``'s multi-metric record."""
     import jax
     import jax.numpy as jnp
 
-    from tpuvae.utils.cache import enable_compilation_cache
-
-    enable_compilation_cache()
-    print(f"backend: {jax.default_backend()}", file=sys.stderr)
-
-    from tpuvae.models import HybridVAE, ConditionalVAE, SimpleVAE
+    from tpuvae.models import ConditionalVAE, HybridVAE, SimpleVAE
     from tpuvae.train import create_state
     from tpuvae.train.objectives import (
         cvae_objective, hybrid_objective, simple_vae_objective,
@@ -82,9 +72,9 @@ def main() -> None:
 
     rng = np.random.default_rng(0)
     key = jax.random.PRNGKey(0)
-    dtype = jnp.dtype(args.dtype)
-    B = args.batch
-    if args.model == "hybrid":
+    dtype = jnp.dtype(dtype_name)
+    B = batch
+    if model_name == "hybrid":
         model = HybridVAE(dtype=dtype)
         mel = rng.standard_normal((B, 128, 1024, 1), np.float32)
         text = rng.standard_normal((B, 768), np.float32)
@@ -92,7 +82,7 @@ def main() -> None:
                    for i in range(3)]
         example = (batches[0][0][:1], batches[0][1][:1], key)
         objective = hybrid_objective()
-    elif args.model == "cvae":
+    elif model_name == "cvae":
         model = ConditionalVAE(num_classes=8, dtype=dtype)
         mel = rng.standard_normal((B, 128, 1024, 1), np.float32)
         text = rng.standard_normal((B, 768), np.float32)
@@ -127,23 +117,55 @@ def main() -> None:
             batch_stats=ms.get("batch_stats", state.batch_stats))
         return state, loss
 
+    return train_step, state, batches, key
+
+
+def measure_steps(train_step, state, batches, key, reps: int = 10,
+                  rounds: int = 3) -> float:
+    """Best-of-``rounds`` pipelined per-step seconds (one sync per round)."""
+    import jax
+
+    best = float("inf")
+    for _ in range(rounds):
+        t0 = time.time()
+        st = state
+        for i in range(reps):
+            st, loss = train_step(st, batches[i % len(batches)],
+                                  jax.random.fold_in(key, i))
+        np.asarray(loss)
+        best = min(best, (time.time() - t0) / reps)
+    return best
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--trace", action="store_true")
+    ap.add_argument("--reps", type=int, default=10)
+    ap.add_argument("--model", default="hybrid", choices=["hybrid", "cvae",
+                                                          "simple"])
+    args = ap.parse_args()
+
+    import jax
+
+    from tpuvae.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    print(f"backend: {jax.default_backend()}", file=sys.stderr)
+
+    train_step, state, batches, key = build_train_setup(
+        args.model, args.dtype, args.batch)
+
     t0 = time.time()
     state, loss = train_step(state, batches[0], key)
     np.asarray(loss)
     print(f"compile+first step: {time.time() - t0:.1f}s  loss={loss}",
           file=sys.stderr)
 
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.time()
-        st = state
-        for i in range(args.reps):
-            st, loss = train_step(st, batches[i % len(batches)],
-                                  jax.random.fold_in(key, i))
-        np.asarray(loss)
-        best = min(best, (time.time() - t0) / args.reps)
-    print(f"{args.model} train step ({args.dtype}, bs {B}): "
-          f"{best * 1e3:.2f} ms/step = {B / best:.0f} clips/s")
+    best = measure_steps(train_step, state, batches, key, reps=args.reps)
+    print(f"{args.model} train step ({args.dtype}, bs {args.batch}): "
+          f"{best * 1e3:.2f} ms/step = {args.batch / best:.0f} clips/s")
 
     if args.trace:
         import shutil

@@ -249,3 +249,34 @@ def test_hybrid_pipeline_host_stream_matches(preprocessed, small_cluster_cfg,
     for col in ("Silhouette", "Davies-Bouldin", "ARI"):
         np.testing.assert_allclose(df_str[col].astype(float),
                                    df_mem[col].astype(float), atol=0.01)
+
+
+def test_quality_gate_recovers_planted_structure(preprocessed,
+                                                 small_cluster_cfg, tmp_path):
+    """VERDICT r2 #5: reproducibility alone can't catch a numerics
+    regression that degrades every run identically — the quality gate
+    asserts the full 3-VAE sweep actually RECOVERS the synthetic corpus's
+    planted genre structure (Direct-Spectral ARI on raw handcrafted
+    features is the training-free DSP detector; loose floors on the
+    trained models gate collapse, not peak quality)."""
+    from tpuvae.parity import run_quality
+
+    corpus, _, _ = preprocessed
+    res = run_quality(
+        data1=str(corpus / "processed_data1"),
+        data2=str(corpus / "processed_data2"),
+        results_dir=str(tmp_path / "quality"),
+        cluster_cfg=small_cluster_cfg,
+        overrides={"epochs": 3, "batch_size": 8},
+        # default floors are calibrated for reference scale; a 3-epoch run
+        # on this 12-clip corpus can't meet the trained-model ARI floor
+        # (measured 0.075 here), so gate it at "better than random" only —
+        # the training-free direct_ari/direct_purity floors stay at full
+        # strength and are the DSP-regression detector this test is for
+        floors={"hybrid_ari": 0.0, "cvae_purity_margin": 0.10},
+    )
+    assert res["ok"], res["problems"]
+    # the gate actually looked at every row it promises to check
+    for key in ("direct_ari", "cvae_purity", "hybrid_ari",
+                "simple_silhouette"):
+        assert key in res["values"], res["values"]

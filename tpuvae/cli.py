@@ -12,6 +12,7 @@ top to bottom" workflow (``README.md:56-87``) with subcommands:
   python -m tpuvae.cli serve  --arch=hybrid --port=8787   # HTTP daemon
   python -m tpuvae.cli eda                   # exploratory-analysis report
   python -m tpuvae.cli parity                # run sweep twice, diff metrics
+  python -m tpuvae.cli quality               # assert planted-structure recovery
   python -m tpuvae.cli report                # print consolidated CSV
 
 ``serve`` keeps a trained model resident behind a JSON HTTP API
@@ -313,6 +314,28 @@ def _dispatch(argv) -> int:
             print("PARITY OK: metrics reproduce within tolerance")
             return 0
         print("PARITY FAILED:")
+        for p in res["problems"]:
+            print("  -", p)
+        return 1
+
+    if cmd == "quality":
+        import json
+
+        from tpuvae.parity import QUALITY_FLOORS, run_quality
+
+        floors = {k: float(extras[k]) for k in QUALITY_FLOORS if k in extras}
+        res = run_quality(
+            data1=extras.get("data1_dir", "processed_data1"),
+            data2=extras.get("data2_dir", "processed_data2"),
+            results_dir=extras.get("out_dir", "quality_run"),
+            floors=floors,
+            fast=extras.get("fast", "1") != "0",
+        )
+        print(json.dumps(res["values"]))
+        if res["ok"]:
+            print("QUALITY OK: pipeline recovers the planted structure")
+            return 0
+        print("QUALITY FAILED:")
         for p in res["problems"]:
             print("  -", p)
         return 1

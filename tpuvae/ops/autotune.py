@@ -122,16 +122,28 @@ def pairwise_tile_cost(
     return max(flops / _FLOPS_PER_SEC, hbm / _BYTES_PER_SEC)
 
 
+# Measured cap on top of the roofline model: the v5e tile A/B
+# (benchmarks/pairwise_tiles_ab.py, 2026-08-19) has 1024-wide tiles losing
+# at every scale despite their lower modeled HBM re-streaming — 512x512
+# beat the model's 1024x1024 pick by 29% at N=10240 (11.8 s vs 16.6 s) and
+# tied the field winner at N=4096.  Bigger tiles leave Mosaic too little
+# VMEM headroom to double-buffer, so the model's budget overstates what
+# pipelines well.
+MAX_MEASURED_TILE = 512
+
+
 def pairwise_tiles_analytic(
     n: int, m: int, d_padded: int, budget: int = VMEM_BUDGET_BYTES
 ) -> tuple[int, int]:
-    """Cheapest in-budget tile pair under the roofline model (ties prefer
-    larger then squarer tiles — fewer grid steps at equal modeled cost)."""
+    """Cheapest in-budget tile pair under the roofline model, capped at
+    the measured ceiling (ties prefer larger then squarer tiles — fewer
+    grid steps at equal modeled cost)."""
     cands = pairwise_tile_candidates(n, m, d_padded, budget)
     if not cands:
         return (8, 128)  # minimum legal tile always fits any real budget
+    capped = [t for t in cands if max(t) <= MAX_MEASURED_TILE]
     return min(
-        cands,
+        capped or cands,
         key=lambda t: (pairwise_tile_cost(n, m, d_padded, *t),
                        -t[0] * t[1], abs(t[0] - t[1])),
     )
@@ -175,12 +187,24 @@ def autotune(
             return cfg
     best, best_t = None, float("inf")
     for cfg in candidates:
-        np.asarray(run(cfg))  # warmup + compile
-        t = min(
-            _timed_run(run, cfg, timer) for _ in range(max(repeats, 1))
-        )
+        # A candidate that passes the byte model can still exceed Mosaic's
+        # scoped-vmem stack (seen at D=768 with 1024-wide tiles, v5e
+        # 2026-08-19: 26.4 MB scoped vs 16 MB limit) — skip it, don't crash
+        # the caller's pipeline.
+        try:
+            np.asarray(run(cfg))  # warmup + compile
+            t = min(
+                _timed_run(run, cfg, timer) for _ in range(max(repeats, 1))
+            )
+        except Exception:  # noqa: BLE001 — backend compile/OOM errors vary
+            continue
         if t < best_t:
             best, best_t = tuple(cfg), t
+    if best is None:
+        raise RuntimeError(
+            f"autotune({name}): every candidate failed to run "
+            f"({len(list(candidates))} tried)"
+        )
     _memo[key] = best
     _store_cache(skey, list(best))
     return best

@@ -55,10 +55,15 @@ def _median_digit_bits_default() -> int:
     round issues ``2**bits - 1`` independent compare+reduce passes over the
     band.  More bits per round trades VPU ops for dependency-chain latency
     (every round's scalar count gates the next round's thresholds).
+
+    Default 2: v5e A/B (benchmarks/tuning_ab.py, 2026-08-19) measured the
+    (bits=2, chunked vote) combination fastest — 12.98 ms vs 14.12 ms per
+    128-clip tuning batch at bits=1 — confirming the reduce-latency
+    hypothesis; bits=4/8 lose to the wider unrolled compare fan-out.
     """
     import os
 
-    bits = int(os.environ.get("TPUVAE_MEDIAN_BITS", "1"))
+    bits = int(os.environ.get("TPUVAE_MEDIAN_BITS", "2"))
     if bits not in (1, 2, 4, 8):
         raise ValueError(
             f"TPUVAE_MEDIAN_BITS must be one of 1, 2, 4, 8 (got {bits}): "
@@ -75,10 +80,14 @@ def _vote_chunked_default() -> bool:
     fit 4 bits, so EIGHT bins share one uint32 word (vs four at 8 bits):
     half the compare+select+add passes over the band, at the cost of a
     per-chunk widen-and-accumulate over tiny (1, T) words.
+
+    Default on: part of the winning v5e A/B combination (see
+    :func:`_median_digit_bits_default`); chunked only wins together with
+    bits=2 (at bits=4 it loses — the A/B table in docs/PERFORMANCE.md).
     """
     import os
 
-    return os.environ.get("TPUVAE_VOTE_CHUNKED", "0") == "1"
+    return os.environ.get("TPUVAE_VOTE_CHUNKED", "1") == "1"
 
 
 def _tuning_body(s, refmax, fmask, binsb, edges, n_frames: int, n_valid: int,

@@ -91,3 +91,136 @@ def run_parity(
         tol=tol,
     )
     return {"ok": not problems, "problems": problems}
+
+
+# -----------------------------------------------------------------------------
+# Quality gate: does the pipeline actually RECOVER planted structure?
+# -----------------------------------------------------------------------------
+
+QUALITY_FLOORS = {
+    # K-Means on raw handcrafted features ("Direct Spectral",
+    # ref Conditional_VAE.py:454-459) involves no VAE training at all, so a
+    # miss here means the DSP/normalization chain itself regressed — the
+    # exact failure mode reproducibility checks cannot see (a broken
+    # filterbank constant degrades every run identically).
+    "direct_ari": 0.7,
+    "direct_purity": 0.85,
+    # trained-model floors are intentionally loose: they gate "learned
+    # nothing / collapsed", not "matched the best run ever"
+    "cvae_purity_margin": 0.15,   # above the majority-class share
+    "hybrid_ari": 0.2,
+    "silhouette": 0.0,
+}
+
+
+def run_quality(
+    data1: str = "processed_data1",
+    data2: str = "processed_data2",
+    results_dir: str = "quality_run",
+    cluster_cfg=None,
+    overrides: dict | None = None,
+    floors: dict | None = None,
+    fast: bool = True,
+) -> dict:
+    """Run the full 3-VAE × clustering sweep ONCE on a corpus with planted
+    genre structure (tpuvae.io.synthetic gives each genre a distinct
+    spectral signature) and assert the pipeline recovers it.
+
+    Complements :func:`run_parity`: parity proves run-vs-run
+    reproducibility, this proves the runs are actually *good* — a numerics
+    regression that degrades every run identically passes parity but fails
+    here.  Returns ``{'ok', 'problems', 'values'}``.
+    """
+    import numpy as np
+
+    from tpuvae.config import (
+        ClusterConfig,
+        ConditionalVAEConfig,
+        HybridVAEConfig,
+        SimpleVAEConfig,
+    )
+    from tpuvae.pipelines import run_conditional_vae, run_hybrid_vae, run_simple_vae
+    from tpuvae.utils import RunLogger
+
+    fl = dict(QUALITY_FLOORS)
+    fl.update(floors or {})
+    ov = dict(overrides or {})
+    if fast:
+        ov.setdefault("epochs", 3)
+    logger = RunLogger(echo=False)
+    ccfg = cluster_cfg if cluster_cfg is not None else ClusterConfig()
+    run_simple_vae(data1, results_dir, SimpleVAEConfig(**ov), ccfg,
+                   logger=logger, make_plots=False)
+    run_conditional_vae(data2, results_dir, ConditionalVAEConfig(**ov), ccfg,
+                        logger=logger, make_plots=False)
+    run_hybrid_vae(data2, results_dir, HybridVAEConfig(**ov), ccfg,
+                   logger=logger, make_plots=False)
+
+    df = pd.read_csv(Path(results_dir) / "clustering_metrics.csv")
+    labels = np.load(Path(data2) / "labels.npy", allow_pickle=True)
+    _, counts = np.unique(labels, return_counts=True)
+    majority = counts.max() / counts.sum()
+
+    problems: list[str] = []
+    values: dict[str, float] = {"majority_class_share": round(float(majority), 4)}
+
+    def _one(mask, what):
+        rows = df[mask]
+        if len(rows) == 0:
+            problems.append(f"missing row: {what}")
+            return None
+        return rows.iloc[0]
+
+    r = _one(df.get("Method", pd.Series(dtype=str)) == "Direct Spectral",
+             "Direct Spectral")
+    if r is not None:
+        values["direct_ari"] = float(r["ARI"])
+        values["direct_purity"] = float(r["Purity"])
+        if r["ARI"] < fl["direct_ari"]:
+            problems.append(
+                f"Direct Spectral ARI {r['ARI']:.3f} < floor "
+                f"{fl['direct_ari']} — handcrafted-feature quality regressed"
+            )
+        if r["Purity"] < fl["direct_purity"]:
+            problems.append(
+                f"Direct Spectral purity {r['Purity']:.3f} < floor "
+                f"{fl['direct_purity']}"
+            )
+
+    r = _one(df.get("Method", pd.Series(dtype=str)) == "CVAE (Multi-Modal)",
+             "CVAE (Multi-Modal)")
+    if r is not None:
+        values["cvae_purity"] = float(r["Purity"])
+        floor = majority + fl["cvae_purity_margin"]
+        if r["Purity"] < floor:
+            problems.append(
+                f"CVAE purity {r['Purity']:.3f} < majority-share+margin "
+                f"{floor:.3f} — latent carries no class structure"
+            )
+
+    algo = df.get("Algorithm", pd.Series(dtype=str)).astype(str)
+    r = _one(algo.str.startswith("K-Means-Main"), "Hybrid K-Means-Main")
+    if r is not None:
+        values["hybrid_ari"] = float(r["ARI"])
+        values["hybrid_silhouette"] = float(r["Silhouette"])
+        if r["ARI"] < fl["hybrid_ari"]:
+            problems.append(
+                f"Hybrid K-Means ARI {r['ARI']:.3f} < floor {fl['hybrid_ari']}"
+            )
+        if r["Silhouette"] <= fl["silhouette"]:
+            problems.append(
+                f"Hybrid K-Means silhouette {r['Silhouette']:.3f} <= "
+                f"{fl['silhouette']} — latent space has no cluster geometry"
+            )
+
+    r = _one(df.get("Method", pd.Series(dtype=str)) == "VAE + KMeans",
+             "Simple VAE + KMeans")
+    if r is not None:
+        values["simple_silhouette"] = float(r["Silhouette"])
+        if r["Silhouette"] <= fl["silhouette"]:
+            problems.append(
+                f"Simple VAE silhouette {r['Silhouette']:.3f} <= "
+                f"{fl['silhouette']}"
+            )
+
+    return {"ok": not problems, "problems": problems, "values": values}
