@@ -21,6 +21,15 @@ if os.environ.get("TPUVAE_TEST_TPU") == "1":
 
     enable_compilation_cache()
 
+if os.environ.get("TPUVAE_TEST_REEXEC") == "1":
+    # CPU suite: XLA:CPU compiles dominate the single-core wall-clock;
+    # cache them so reruns (local dev, CI retries) skip recompilation.
+    # A separate dir from the TPU cache keeps eviction behavior predictable.
+    from tpuvae.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache(
+        os.path.join(os.path.expanduser("~"), ".cache", "tpuvae-xla-cputest"))
+
 if (
     os.environ.get("TPUVAE_TEST_TPU") != "1"
     and os.environ.get("TPUVAE_TEST_REEXEC") != "1"

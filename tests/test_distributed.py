@@ -123,6 +123,7 @@ def test_fit_runs_on_sharded_inputs():
     assert np.isfinite(res.history["train_loss"]).all()
 
 
+@pytest.mark.slow
 def test_graft_dryrun_multichip():
     import sys
     sys.path.insert(0, "/root/repo")
@@ -427,6 +428,7 @@ def test_maybe_init_distributed_gate(monkeypatch):
     assert M.maybe_init_distributed() is False and len(calls) == 1
 
 
+@pytest.mark.slow
 def test_two_process_distributed_collectives(tmp_path):
     """REAL multi-process run: two OS processes join via the coordinator
     (the TPUVAE_DISTRIBUTED env contract), form ONE 8-device global mesh

@@ -108,3 +108,48 @@ def test_autoencoder_roundtrip_shapes():
     params = model.init(rng, x)["params"]
     recon, z = model.apply({"params": params}, x)
     assert recon.shape == (4, 290) and z.shape == (4, 64)
+
+
+def test_conv_impl_lowerings_match_direct():
+    """Every conv lowering policy (s2d / d2s_dec / mixed) computes the same
+    trunk function as 'direct' — same param tree, fp-level-equal outputs
+    and parameter gradients (tpuvae/models/layers.py)."""
+    from tpuvae.models.layers import ConvDecoderTrunk, ConvEncoderTrunk
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 1)) * 0.1, jnp.float32)
+    h = jnp.asarray(rng.standard_normal((2, 512)) * 0.1, jnp.float32)
+    key = jax.random.PRNGKey(0)
+
+    def run(module_cls, inp, impl, **kw):
+        mod = module_cls(impl=impl, **kw)
+        variables = mod.init(key, inp, train=False)
+
+        def f(params):
+            out = mod.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                inp, train=False)
+            return jnp.sum(out ** 2)
+
+        val, grads = jax.value_and_grad(f)(variables["params"])
+        return variables["params"], val, grads
+
+    for module_cls, inp, kw in (
+        (ConvEncoderTrunk, x, {}),
+        (ConvDecoderTrunk, h, {"feature_hw": (1, 1)}),
+    ):
+        p0, v0, g0 = run(module_cls, inp, "direct", **kw)
+        for impl in ("s2d", "d2s_dec", "mixed"):
+            p1, v1, g1 = run(module_cls, inp, impl, **kw)
+            assert jax.tree_util.tree_structure(p0) == \
+                jax.tree_util.tree_structure(p1)
+            for a, b in zip(jax.tree_util.tree_leaves(p0),
+                            jax.tree_util.tree_leaves(p1)):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            np.testing.assert_allclose(float(v0), float(v1), rtol=1e-4,
+                                       err_msg=f"{module_cls.__name__} {impl}")
+            for a, b in zip(jax.tree_util.tree_leaves(g0),
+                            jax.tree_util.tree_leaves(g1)):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=2e-2, atol=2e-4,
+                    err_msg=f"{module_cls.__name__} {impl}")

@@ -278,9 +278,11 @@ def test_fused_tuning_kernel_median_radix_variants(monkeypatch):
     from tpuvae.ops.tuning import estimate_tuning_pallas
 
     rng = np.random.default_rng(23)
-    t = np.arange(33075) / 22050.0
+    # short clips: the digit-descent logic is per-(R,T) element, so frame
+    # count doesn't change what the assertion covers — only wall-clock
+    t = np.arange(11025) / 22050.0
     clips = []
-    for _ in range(3):
+    for _ in range(2):
         f0 = 196 * 2 ** rng.uniform(-0.5, 0.5)
         sig = sum(np.sin(2 * np.pi * f0 * (k + 1) * t + rng.uniform(0, 6))
                   / (k + 1) for k in range(5))
@@ -288,17 +290,14 @@ def test_fused_tuning_kernel_median_radix_variants(monkeypatch):
     sp = prim.stft_power(jnp.asarray(np.stack(clips)), 2048, 512)
     want = np.asarray(jax.vmap(
         lambda s: C.estimate_tuning_from_power(s, 22050, 2048))(sp))
-    for bits in (1, 2, 4, 8):
+    # extreme widths both vote modes + the production default pair
+    # (bits=2 chunked); every variant must be bit-identical
+    for bits, chunked in ((1, "0"), (8, "0"), (2, "1"), (4, "1")):
         monkeypatch.setenv("TPUVAE_MEDIAN_BITS", str(bits))
-        got = np.asarray(estimate_tuning_pallas(sp, 22050, 2048))
-        np.testing.assert_array_equal(got, want, err_msg=f"bits={bits}")
-    # row-chunked 8-bins-per-word vote, alone and with the radix median
-    for bits in (1, 4):
-        monkeypatch.setenv("TPUVAE_MEDIAN_BITS", str(bits))
-        monkeypatch.setenv("TPUVAE_VOTE_CHUNKED", "1")
+        monkeypatch.setenv("TPUVAE_VOTE_CHUNKED", chunked)
         got = np.asarray(estimate_tuning_pallas(sp, 22050, 2048))
         np.testing.assert_array_equal(
-            got, want, err_msg=f"chunked vote, bits={bits}")
+            got, want, err_msg=f"bits={bits} chunked={chunked}")
 
 
 def test_tuning_band_alignment_at_nyquist_fmax():
