@@ -38,6 +38,9 @@ def _relay(cmd, env, timeout_s):
     """
     import subprocess
 
+    # tell the child its ACTUAL kill time so the extra-metrics blocks can
+    # budget against it (the retry attempt gets half the first's timeout)
+    env["TPUVAE_BENCH_KILL_AT"] = str(time.time() + timeout_s)
     try:
         proc = subprocess.run(
             cmd, env=env, timeout=timeout_s, stdout=subprocess.PIPE,
@@ -169,7 +172,10 @@ def main():
         result["note"] = ("TPU relay unreachable at bench time; batched "
                           "path measured on the CPU backend instead")
     if not fallback:
-        result["extra"] = _extra_metrics(cfg, clips, _T0)
+        try:
+            result["extra"] = _extra_metrics(cfg, clips, _T0)
+        except Exception as exc:   # never lose the measured headline
+            log(f"extra metrics failed wholesale: {exc!r}")
     print(json.dumps(result))
 
 
@@ -188,8 +194,15 @@ def _extra_metrics(cfg, clips, t_start):
     import numpy as np
 
     extra = {}
-    # leave 25% headroom before the parent's hard kill at the full budget
-    budget = float(os.environ.get("TPUVAE_BENCH_TIMEOUT", "1200")) * 0.75
+    # budget against the parent's ACTUAL kill time (set per relay attempt —
+    # the retry attempt runs at half budget), with 25% headroom; fall back
+    # to the static envelope when launched directly
+    kill_at = float(os.environ.get(
+        "TPUVAE_BENCH_KILL_AT",
+        t_start + float(os.environ.get("TPUVAE_BENCH_TIMEOUT", "1200"))))
+
+    def _remaining() -> float:
+        return kill_at - time.time() - 0.25 * (kill_at - t_start)
 
     def timed(fn_, xs, reps=6):
         best = float("inf")
@@ -202,7 +215,7 @@ def _extra_metrics(cfg, clips, t_start):
         return best
 
     def fenced(name, fn_):
-        if time.time() - t_start > budget:
+        if _remaining() <= 0:
             log(f"extra[{name}]: skipped (bench time budget)")
             return
         try:
@@ -212,10 +225,8 @@ def _extra_metrics(cfg, clips, t_start):
         except Exception as exc:   # pragma: no cover - depends on backend
             log(f"extra[{name}]: failed: {exc!r}")
 
-    from tpuvae.dsp import extract_advanced, extract_basic_features, jit_extractor
-
     def _extraction(name, feature_fn, cfg_):
-        from tpuvae.dsp import resolve_numerics
+        from tpuvae.dsp import jit_extractor, resolve_numerics
         from tpuvae.ops.stft import waveform_to_hop_rows_np
 
         _, method = resolve_numerics(cfg_)
@@ -230,17 +241,34 @@ def _extra_metrics(cfg, clips, t_start):
         np.asarray(jax.tree_util.tree_leaves(fn_(xs[0]))[0])   # compile
         extra[name] = round(clips.shape[0] / timed(fn_, xs), 1)
 
-    fenced("extract_exact_clips_per_s", lambda: _extraction(
-        "extract_exact_clips_per_s", extract_basic_features,
-        replace(cfg, precision_mode="exact")))
-    fenced("extract_advanced_clips_per_s", lambda: _extraction(
-        "extract_advanced_clips_per_s", extract_advanced, cfg))
+    def _extract_exact():
+        from tpuvae.dsp import extract_basic_features
+
+        _extraction("extract_exact_clips_per_s", extract_basic_features,
+                    replace(cfg, precision_mode="exact"))
+
+    def _extract_advanced():
+        from tpuvae.config import AdvancedPreprocessConfig
+        from tpuvae.dsp import extract_advanced
+
+        # the advanced extractor reads AdvancedPreprocessConfig-only fields
+        # (fixed_time_steps); mirror the basic cfg's numerics knobs onto it
+        adv_cfg = AdvancedPreprocessConfig(
+            precision_mode=cfg.precision_mode, stft_method=cfg.stft_method,
+            extract_batch=cfg.extract_batch,
+        )
+        _extraction("extract_advanced_clips_per_s", extract_advanced,
+                    adv_cfg)
+
+    fenced("extract_exact_clips_per_s", _extract_exact)
+    fenced("extract_advanced_clips_per_s", _extract_advanced)
 
     # --- train steps at reference geometry (bs 32) -------------------------
     sys.path.insert(0, str(Path(__file__).parent / "benchmarks"))
-    from train_step_profile import build_train_setup, measure_steps
 
     def _train(name, model, dtype):
+        from train_step_profile import build_train_setup, measure_steps
+
         step, state, batches, key = build_train_setup(model, dtype, 32)
         state, loss = step(state, batches[0], key)     # compile
         np.asarray(loss)
@@ -277,14 +305,21 @@ def _extra_metrics(cfg, clips, t_start):
             log("extra[preprocess_e2e]: no cached corpus; skipped "
                 "(see benchmarks/preprocess_e2e.py)")
             return
+        # cap the subprocess at the parent's remaining budget so a slow
+        # run degrades to a missing key, not a lost headline JSON
+        sub_timeout = min(600.0, max(60.0, _remaining()))
         out = subprocess.run(
             [sys.executable, str(Path(__file__).parent / "benchmarks" /
                                  "preprocess_e2e.py"), "--clips", "1344"],
-            stdout=subprocess.PIPE, text=True, timeout=600,
+            stdout=subprocess.PIPE, text=True, timeout=sub_timeout,
             cwd=str(Path(__file__).parent))
         if out.returncode == 0:
             rec = json.loads(out.stdout.strip().splitlines()[-1])
             extra["preprocess_e2e_basic_clips_per_s"] = rec["clips_per_s"]
+            # surface the stage decomposition next to the headline
+            # (VERDICT r3 #3: the breakdown was computed but thrown away)
+            if rec.get("stages"):
+                extra["preprocess_e2e_basic_stages_s"] = rec["stages"]
 
     fenced("preprocess_e2e_basic_clips_per_s", _e2e)
     return extra

@@ -6,7 +6,7 @@ mirrored decoder ending in a plain Linear back to the input dim.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -19,13 +19,16 @@ class SimpleVAE(nn.Module):
     hidden_dims: Sequence[int] = (128, 64, 32)
     latent_dim: int = 32
     dropout: float = 0.2
+    dtype: Any = jnp.float32    # compute dtype, same contract as its siblings
 
     def setup(self):
-        self.encoder = MLPBlock(self.hidden_dims, self.dropout)
-        self.fc_mu = nn.Dense(self.latent_dim)
-        self.fc_logvar = nn.Dense(self.latent_dim)
-        self.decoder = MLPBlock(tuple(reversed(self.hidden_dims)), self.dropout)
-        self.out = nn.Dense(self.input_dim)
+        self.encoder = MLPBlock(self.hidden_dims, self.dropout,
+                                dtype=self.dtype)
+        self.fc_mu = nn.Dense(self.latent_dim, dtype=self.dtype)
+        self.fc_logvar = nn.Dense(self.latent_dim, dtype=self.dtype)
+        self.decoder = MLPBlock(tuple(reversed(self.hidden_dims)),
+                                self.dropout, dtype=self.dtype)
+        self.out = nn.Dense(self.input_dim, dtype=self.dtype)
 
     def encode(self, x, *, train: bool = False):
         h = self.encoder(x, train=train)
@@ -50,6 +53,10 @@ def simple_vae_loss(recon, x, mu, logvar, beta: float = 0.8):
     Note the mean-form KL (the other two models use sum-form; SURVEY.md §7
     'behavioral quirks').
     """
-    recon_loss = jnp.mean((recon - x) ** 2)
+    # accumulate in float32 whatever the compute dtype (bf16 mode)
+    recon = recon.astype(jnp.float32)
+    mu = mu.astype(jnp.float32)
+    logvar = logvar.astype(jnp.float32)
+    recon_loss = jnp.mean((recon - x.astype(jnp.float32)) ** 2)
     kl = -0.5 * jnp.mean(1 + logvar - mu**2 - jnp.exp(logvar))
     return recon_loss + beta * kl, recon_loss, kl
