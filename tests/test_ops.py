@@ -420,3 +420,39 @@ def test_pairwise_auto_tiles_match_explicit():
     got = np.asarray(squared_distances_pallas(x, x))
     want = np.asarray(squared_distances(jnp.asarray(x), jnp.asarray(x)))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+
+def test_tuning_vmem_byte_model_reference_geometry():
+    """The scoped-VMEM model must reproduce the measured v5e fit/no-fit
+    boundary at the production band (VERDICT r3 #1: exact-mode f32 power +
+    chunked vote needed 17.12 MB > 16 MB and Mosaic-compile-crashed; every
+    other combination ran)."""
+    from tpuvae.ops.tuning import (
+        _tuning_consts,
+        tuning_kernel_bytes,
+        tuning_pallas_fits,
+    )
+    from tpuvae.ops.vmem import VMEM_SCOPED_BYTES_DEFAULT as BUDGET
+
+    _, r8, *_ = _tuning_consts(22050, 2048, 1025, 0.01)
+    t = 1408  # lane-padded production frame axis (1292 → next 128-multiple)
+    # exact mode (f32): chunked rejected, unchunked fits
+    assert tuning_kernel_bytes(r8, t, 4, True) > BUDGET
+    assert tuning_kernel_bytes(r8, t, 4, False) <= BUDGET
+    # fast mode (bf16): both fit (the measured round-3 default)
+    assert tuning_kernel_bytes(r8, t, 2, True) <= BUDGET
+    assert tuning_kernel_bytes(r8, t, 2, False) <= BUDGET
+    # the batch-API gate says the fused kernel is usable in BOTH modes
+    assert tuning_pallas_fits(1152, t, 4, 22050, 2048)
+    assert tuning_pallas_fits(1152, t, 2, 22050, 2048)
+
+
+def test_tuning_vmem_guard_2x_geometry_degrades():
+    """At ~2x the frame axis (60 s clips) even the smallest fused-kernel
+    footprint blows the arena — the gate must say so, routing
+    estimate_tuning_batch to the staged XLA path instead of a Mosaic
+    compile error."""
+    from tpuvae.ops.tuning import tuning_pallas_fits
+
+    assert not tuning_pallas_fits(1152, 2816, 4, 22050, 2048)
+    assert not tuning_pallas_fits(1152, 2816, 2, 22050, 2048)

@@ -289,19 +289,26 @@ def estimate_tuning_batch(
     """
     t_valid = s_power.shape[-1]
     if jax.default_backend() not in ("cpu", "gpu"):
-        from tpuvae.ops.tuning import estimate_tuning_pallas
+        from tpuvae.ops.tuning import estimate_tuning_pallas, tuning_pallas_fits
 
-        if power_padded is not None:
+        src = s_power if power_padded is None else power_padded
+        if tuning_pallas_fits(
+                src.shape[1], src.shape[-1], jnp.dtype(src.dtype).itemsize,
+                sr, n_fft, resolution):
+            if power_padded is not None:
+                return estimate_tuning_pallas(
+                    power_padded, sr, n_fft, resolution=resolution,
+                    bins_per_octave=bins_per_octave, colmax=colmax,
+                    n_frames=t_valid,
+                )
             return estimate_tuning_pallas(
-                power_padded, sr, n_fft, resolution=resolution,
-                bins_per_octave=bins_per_octave, colmax=colmax,
-                n_frames=t_valid,
+                s_power, sr, n_fft, resolution=resolution,
+                bins_per_octave=bins_per_octave,
+                colmax=None if colmax is None else colmax[:, :t_valid],
             )
-        return estimate_tuning_pallas(
-            s_power, sr, n_fft, resolution=resolution,
-            bins_per_octave=bins_per_octave,
-            colmax=None if colmax is None else colmax[:, :t_valid],
-        )
+        # geometry too large for even the smallest fused-kernel footprint
+        # (scoped-VMEM model, ops/vmem.py): degrade to the staged XLA path
+        # below instead of a Mosaic compile error
 
     from tpuvae.ops.select import masked_median_batch
 

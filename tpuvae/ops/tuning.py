@@ -90,6 +90,52 @@ def _vote_chunked_default() -> bool:
     return os.environ.get("TPUVAE_VOTE_CHUNKED", "1") == "1"
 
 
+def tuning_kernel_bytes(r8: int, t: int, itemsize: int,
+                        vote_chunked: bool) -> int:
+    """Scoped-VMEM byte model for the tuning kernels at band (r8, t).
+
+    Components: the double-buffered band copy (2 buffers of the input
+    dtype — the manual-DMA variant's explicit scratch, or Mosaic's
+    pipelined block buffers in the sliced variant) plus the kernel body's
+    live f32/int32 (r8, t) intermediates (piptrack temporaries, packed
+    median keys, vote bucket/value planes).  The chunked vote keeps more
+    planes live across its row-chunk loop than the plain packed vote.
+
+    Calibrated on v5e at the production geometry (r8=368, t=1408,
+    benchmarks/tuning_ab.py + /tmp exact-mode A/B, 2026-08-20):
+
+    ==========  =========  ==================  =======
+    power       vote       Mosaic scoped need  fits?
+    ==========  =========  ==================  =======
+    f32         chunked    17.12 MB (error)    no
+    bf16        chunked    ~15.1 MB            yes
+    f32         unchunked  <16 MB              yes (all median_bits)
+    bf16        unchunked  <14 MB              yes
+    ==========  =========  ==================  =======
+
+    The live-plane coefficients (6.5 chunked / 5.5 unchunked) reproduce
+    that table with margin: f32+chunked models 17.6 MB (reject),
+    bf16+chunked 15.5 MB (accept), f32+unchunked 15.5 MB (accept).
+    ``median_bits`` does not change the footprint (measured: every bits
+    value fails chunked-f32 and fits unchunked-f32 identically) — the
+    radix rounds reuse the same packed-key plane.
+    """
+    live_planes = 6.5 if vote_chunked else 5.5
+    return int(2 * r8 * t * itemsize + live_planes * r8 * t * 4)
+
+
+def tuning_pallas_fits(n_rows_total: int, t: int, itemsize: int, sr: int,
+                       n_fft: int, resolution: float = 0.01) -> bool:
+    """True when even the smallest-footprint Pallas tuning variant
+    (unchunked vote) fits scoped VMEM at this geometry.  Callers that get
+    False should take the staged XLA path (``dsp.chroma``) instead."""
+    from tpuvae.ops.vmem import vmem_fits
+
+    n_rows_real = min(n_rows_total, n_fft // 2 + 1)
+    _, r8, *_ = _tuning_consts(sr, n_fft, n_rows_real, resolution)
+    return vmem_fits(tuning_kernel_bytes(r8, t, itemsize, False))
+
+
 def _tuning_body(s, refmax, fmask, binsb, edges, n_frames: int, n_valid: int,
                  scale: float, bins_per_octave: int, n_bins: int,
                  binw: float, median_bits: int = 1,
@@ -513,6 +559,17 @@ def estimate_tuning_pallas(
     consts = (jnp.asarray(fmask), jnp.asarray(binsb), jnp.asarray(edges))
     median_bits = _median_digit_bits_default()
     vote_chunked = _vote_chunked_default()
+    if vote_chunked and not interpret:
+        # scoped-VMEM guard (VERDICT r3 #1): the chunked vote's larger live
+        # set blows Mosaic's arena when the power input is f32 (exact mode)
+        # at the production band — degrade to the mathematically identical
+        # unchunked vote (also the measured A/B winner for f32, 2026-08-20:
+        # 10.14 ms unchunked-bits2 vs compile error chunked)
+        from tpuvae.ops.vmem import vmem_fits
+
+        itemsize = jnp.dtype(s_power.dtype).itemsize
+        if not vmem_fits(tuning_kernel_bytes(r8, t, itemsize, True)):
+            vote_chunked = False
     if padded:
         out = _tuning_pallas_from_padded(
             s_power, refmax, *consts, lo8=lo8, r8=r8,
