@@ -456,3 +456,59 @@ def test_tuning_vmem_guard_2x_geometry_degrades():
 
     assert not tuning_pallas_fits(1152, 2816, 4, 22050, 2048)
     assert not tuning_pallas_fits(1152, 2816, 2, 22050, 2048)
+
+
+def test_stft_vmem_byte_models_measured_boundary():
+    """Models must reproduce the measured v5e compile boundary
+    (2026-08-20): both Pallas STFT paths compile at n_fft<=4096 and
+    Mosaic-compile-error at 8192 (stft_power_pallas's error reports
+    21.19 MB vs the 16 MB arena — the model's exact prediction)."""
+    from tpuvae.ops.stft import (
+        ct_pallas_supports,
+        stft_ct_pallas_bytes,
+        stft_pallas_bytes,
+    )
+    from tpuvae.ops.vmem import VMEM_SCOPED_BYTES_DEFAULT as BUDGET
+
+    # reference geometry and one step up: fits
+    for n_fft, hop in ((2048, 512), (4096, 1024)):
+        assert stft_pallas_bytes(n_fft, hop) <= BUDGET
+        assert stft_ct_pallas_bytes(n_fft, hop, True) <= BUDGET
+        assert stft_ct_pallas_bytes(n_fft, hop, False) <= BUDGET
+        assert ct_pallas_supports(n_fft, hop)
+    # 4x reference: measured Mosaic compile error on both paths
+    assert stft_pallas_bytes(8192, 2048) > BUDGET
+    # the model must match Mosaic's own 21.19 MB figure closely
+    assert abs(stft_pallas_bytes(8192, 2048) - 21.19 * 2**20) < 0.3 * 2**20
+    assert stft_ct_pallas_bytes(8192, 2048, False) > BUDGET
+    assert not ct_pallas_supports(8192, 2048)
+
+
+def test_select_vmem_model_and_xla_fallback():
+    """Measured v5e boundary (2026-08-20): 5.1 MB keys (reference tuning
+    geometry) compile, 10.1 MB (2x) don't.  Over-budget inputs must route
+    to the vmapped XLA binary search and still give exact medians."""
+    import numpy as np
+
+    from tpuvae.ops.select import masked_median_batch, select_kernel_bytes
+    from tpuvae.ops.vmem import VMEM_SCOPED_BYTES_DEFAULT as BUDGET
+
+    n_ref = 1025 * 1292
+    assert select_kernel_bytes(n_ref + (-n_ref) % 128) <= BUDGET
+    assert select_kernel_bytes(2 * n_ref) > BUDGET
+
+    # functional check of the fallback: force a tiny budget so even a
+    # small input takes the XLA path (interpret=False exercises the gate)
+    rng = np.random.default_rng(5)
+    vals = rng.standard_normal((3, 4096)).astype(np.float32)
+    mask = rng.random((3, 4096)) > 0.4
+    import os
+
+    os.environ["TPUVAE_VMEM_SCOPED_BYTES"] = "1024"
+    try:
+        out = np.asarray(masked_median_batch(
+            jnp.asarray(vals), jnp.asarray(mask), interpret=False))
+    finally:
+        del os.environ["TPUVAE_VMEM_SCOPED_BYTES"]
+    ref = np.array([np.median(v[m]) for v, m in zip(vals, mask)])
+    np.testing.assert_allclose(out, ref, rtol=0, atol=0)

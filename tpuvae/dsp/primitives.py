@@ -188,16 +188,40 @@ def stft_power(
                 f"method={method!r} bakes in the hann window; custom "
                 f"window= is only supported by 'fft'/'dft'/'ct'"
             )
-        if method == "pallas":
+        from tpuvae.ops.stft import (
+            _interpret_default,
+            stft_ct_pallas_bytes,
+            stft_pallas_bytes,
+        )
+        from tpuvae.ops.vmem import vmem_fits
+
+        exact = precision == jax.lax.Precision.HIGHEST
+        need = (stft_pallas_bytes(n_fft, hop_length) if method == "pallas"
+                else stft_ct_pallas_bytes(n_fft, hop_length, exact))
+        if not _interpret_default() and not vmem_fits(need):
+            # kernel working set over Mosaic's scoped arena at this
+            # geometry (ops/vmem.py byte models): degrade to the dense
+            # XLA path — same numerics contract — instead of a compile
+            # error.  'ct' needs the factorization constraint; 'dft'
+            # covers everything else.
+            import warnings
+
+            fallback = ("ct" if n_fft % (2 * _CT_N2) == 0 else "dft")
+            warnings.warn(
+                f"stft_power(method={method!r}) at n_fft={n_fft} exceeds "
+                f"the scoped-VMEM budget ({need / 2**20:.1f} MB); using "
+                f"the XLA {fallback!r} path instead", stacklevel=2)
+            method = fallback
+        elif method == "pallas":
             from tpuvae.ops.stft import stft_power_pallas
 
             return stft_power_pallas(y, n_fft, hop_length, pad_mode=pad_mode)
-        from tpuvae.ops.stft import stft_power_ct_pallas
+        else:
+            from tpuvae.ops.stft import stft_power_ct_pallas
 
-        return stft_power_ct_pallas(
-            y, n_fft, hop_length, pad_mode=pad_mode,
-            exact=precision == jax.lax.Precision.HIGHEST,
-        )
+            return stft_power_ct_pallas(
+                y, n_fft, hop_length, pad_mode=pad_mode, exact=exact,
+            )
     if window is None:
         window = hann_window(n_fft)
     frames = frame_signal(y, n_fft, hop_length, pad_mode=pad_mode)

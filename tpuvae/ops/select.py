@@ -53,6 +53,15 @@ def _select_kernel(keys_ref, out_ref):
     )
 
 
+def select_kernel_bytes(n_padded: int) -> int:
+    """Scoped-VMEM byte model: the per-clip keys block (double-buffered by
+    Mosaic's grid pipeline) plus one live compare plane.  Measured boundary
+    on v5e (2026-08-20): 5.1 MB keys (reference tuning geometry,
+    n=1025*1292) compiles; 10.1 MB keys (2x) is a Mosaic compile error —
+    the 3x multiplier reproduces both (15.2 MB fits, 30.3 MB doesn't)."""
+    return 3 * n_padded * 4
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _masked_median_stats(keys_i32: jnp.ndarray, interpret: bool):
     b, r, _ = keys_i32.shape
@@ -85,6 +94,16 @@ def masked_median_batch(
 
         interpret = _interpret_default()
     b, n = values.shape
+    if not interpret:
+        from tpuvae.ops.vmem import vmem_fits
+
+        if not vmem_fits(select_kernel_bytes(n + (-n) % _LANES)):
+            # keys for one clip don't fit the scoped arena (ops/vmem.py):
+            # degrade to the pure-XLA binary search — ~32 HBM passes, slow
+            # but correct at any geometry — instead of a compile error
+            from tpuvae.dsp.chroma import _masked_median
+
+            return jax.vmap(_masked_median)(values, mask)
     packed = jnp.where(
         mask, _float_order_key(values), jnp.uint32(0xFFFFFFFF)
     )

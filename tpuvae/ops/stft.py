@@ -205,10 +205,62 @@ CT_N2 = 128          # outer (MXU-contraction) DFT length
 CT_K2 = 72           # stored k2 bins: 65 valid + pad to a sublane multiple
 
 
+def stft_pallas_bytes(n_fft: int, hop: int) -> int:
+    """Scoped-VMEM byte model for :func:`stft_power_pallas`.
+
+    Components: the cos/sin basis blocks ``(n_fft, K_BLOCK)`` (their index
+    map varies with the grid's k dimension, so Mosaic double-buffers them),
+    the frame-assembly scratch ``(F_BLOCK, n_fft)``, the waveform span
+    scratch, and the double-buffered output block.  Reproduces the measured
+    v5e boundary (2026-08-20) exactly: 21.19 MB at n_fft=8192/hop=2048
+    (Mosaic's own number in its compile error), ~10.7 MB at 4096 (fits),
+    ~5.4 MB at the reference 2048 (fits)."""
+    ratio = n_fft // hop
+    span_rows = _round_up(F_BLOCK + ratio - 1, 8)
+    return (2 * 2 * n_fft * K_BLOCK * 4     # cos+sin blocks, double-buffered
+            + F_BLOCK * n_fft * 4           # frames scratch
+            + span_rows * hop * 4           # span scratch
+            + 2 * F_BLOCK * K_BLOCK * 4)    # out block, double-buffered
+
+
+def stft_ct_pallas_bytes(n_fft: int, hop: int, exact: bool) -> int:
+    """Scoped-VMEM byte model for the Cooley-Tukey kernels (plain + fused).
+
+    The basis/filterbank consts have grid-constant index maps (single
+    VMEM copy); fast mode stores them as stacked bf16 hi/lo halves (2x
+    rows, half bytes) and adds the Gauss-sum basis (3 tables vs exact's 2).
+    Outputs are double-buffered; the kernel body keeps the assembled frame
+    plane plus ~3 bin-order work planes live.  Calibrated on v5e
+    (2026-08-20): models ~12.7 MB at n_fft=4096 fast (compiles) and
+    ~25.4 MB at 8192 (Mosaic compile error); reference 2048 is ~6.4 MB."""
+    ratio = n_fft // hop
+    span_rows = _round_up(F_BLOCK + ratio - 1, 8)
+    n1r = n_fft // CT_N2
+    bins_pad = CT_K2 * n1r
+    itemsize = 4 if exact else 2
+    rows_mult = 1 if exact else 2           # hi/lo split doubles rows
+    n_basis = 2 if exact else 3             # cre, cim (+ Gauss csum, fast)
+    basis = n_basis * rows_mult * CT_N2 * n1r * CT_K2 * itemsize
+    mel_fb = rows_mult * bins_pad * 128 * itemsize
+    scratch = 2 * span_rows * hop * 4
+    outs = 2 * (bins_pad * F_BLOCK * itemsize
+                + 128 * F_BLOCK * 4 + 8 * F_BLOCK * 4)
+    frames = F_BLOCK * n_fft * 4
+    live = 3 * bins_pad * F_BLOCK * 4       # bin-order work planes
+    return basis + mel_fb + scratch + outs + frames + live
+
+
 def ct_pallas_supports(n_fft: int, hop_length: int) -> bool:
     """Geometry predicate for :func:`stft_power_ct_pallas` — the single
-    source of truth for 'auto' STFT-method selection."""
-    return n_fft % (2 * CT_N2) == 0 and n_fft % hop_length == 0
+    source of truth for 'auto' STFT-method selection.  Covers both the
+    factorization constraints and the scoped-VMEM budget (ops/vmem.py) in
+    the worse of the two precision modes, so 'auto' never selects a
+    kernel Mosaic cannot compile."""
+    from tpuvae.ops.vmem import vmem_fits
+
+    return (n_fft % (2 * CT_N2) == 0 and n_fft % hop_length == 0
+            and vmem_fits(max(stft_ct_pallas_bytes(n_fft, hop_length, True),
+                              stft_ct_pallas_bytes(n_fft, hop_length, False))))
 
 
 def _ct_small_dft_coeffs(n1r: int):
