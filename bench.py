@@ -320,6 +320,9 @@ def _extra_metrics(cfg, clips, t_start):
             # (VERDICT r3 #3: the breakdown was computed but thrown away)
             if rec.get("stages"):
                 extra["preprocess_e2e_basic_stages_s"] = rec["stages"]
+            if rec.get("extract_detail"):
+                extra["preprocess_e2e_basic_extract_detail"] = (
+                    rec["extract_detail"])
 
     fenced("preprocess_e2e_basic_clips_per_s", _e2e)
     return extra

@@ -101,9 +101,12 @@ def main():
         extract_advanced if args.advanced else extract_basic_features, cfg)
     bs_padded = cfg.extract_batch
     t0 = time.time()
-    warm = fn(np.zeros((bs_padded,) + tuple(row_shape), np.float32))
+    from tpuvae.dsp import resolve_transfer_dtype
+
+    wire = resolve_transfer_dtype(cfg)   # must match the pipeline's feed
+    warm = fn(np.zeros((bs_padded,) + tuple(row_shape), wire))
     np.asarray(warm[0] if isinstance(warm, tuple) else warm)
-    log(f"extractor compile/warm: {time.time() - t0:.1f}s")
+    log(f"extractor compile/warm: {time.time() - t0:.1f}s (wire {wire})")
 
     t0 = time.time()
     res = run(cfg, logger=RunLogger(echo=False), resume=False)
@@ -117,6 +120,7 @@ def main():
         "wall_s": round(wall, 2),
         "clips_per_s": round(n / wall, 1),
         "stages": stages,
+        "extract_detail": res.get("extract_detail"),
         "failed": len(res["failed"]),
     }
     log(f"end-to-end: {n} clips in {wall:.1f}s = {n / wall:.1f} clips/s")

@@ -299,6 +299,36 @@ int tpuvae_load_audio_rows(const char* path, int target_sr, double duration,
   return rc;
 }
 
+// Like tpuvae_load_audio_rows but emitting int16 PCM (the device widens
+// with x * 2^-15): halves the host->device transfer bytes, the measured
+// bottleneck of the end-to-end pipeline through the ~40 MB/s relay.
+// Round-to-nearest with clamp; int16 sources at the target rate round-trip
+// BIT-EXACTLY (k/32768 * 32768 == k in float32), so the fast-mode default
+// loses nothing on the reference's own WAV data; resampled/float sources
+// see one <= 1.5e-5 quantization, far below fast mode's bf16 tolerances.
+int tpuvae_load_audio_rows_i16(const char* path, int target_sr,
+                               double duration, int16_t* out,
+                               int64_t total_len, int64_t offset) try {
+  if (offset < 0 || offset > total_len) return 3;
+  int64_t n = int64_t(std::llround(double(target_sr) * duration));
+  if (n > total_len - offset) n = total_len - offset;
+  std::vector<float> tmp(static_cast<size_t>(n), 0.0f);
+  const int rc = load_audio_into(path, target_sr, duration, tmp.data(), n);
+  if (rc != 0) return rc;
+  std::memset(out, 0, size_t(offset) * sizeof(int16_t));
+  int16_t* dst = out + offset;
+  for (int64_t i = 0; i < n; ++i) {
+    float v = tmp[size_t(i)] * 32768.0f;
+    v = v < -32768.0f ? -32768.0f : (v > 32767.0f ? 32767.0f : v);
+    dst[i] = int16_t(std::lrintf(v));
+  }
+  std::memset(out + offset + n, 0,
+              size_t(total_len - offset - n) * sizeof(int16_t));
+  return 0;
+} catch (...) {
+  return 2;
+}
+
 // Batch variant: decode `count` paths (NUL-separated) into a contiguous
 // (count, out_len) buffer.  Per-file failures zero-fill and set status[i]=1.
 int tpuvae_load_audio_batch(const char* paths, int count, int target_sr,
@@ -314,5 +344,5 @@ int tpuvae_load_audio_batch(const char* paths, int count, int target_sr,
   return 0;
 }
 
-int tpuvae_native_version() { return 2; }
+int tpuvae_native_version() { return 3; }
 }

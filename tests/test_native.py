@@ -94,3 +94,77 @@ def test_rows_loader_raises_on_missing_file(tmp_path):
     with pytest.raises(IOError):
         native_loader.load_audio_into_native(
             tmp_path / "missing.wav", dest, 22050, 0.1, offset=64)
+
+
+def test_rows_loader_i16_bit_exact_for_int16_sources(tmp_path):
+    """int16 WAV at the target rate: the i16 wire path must round-trip the
+    raw PCM words bit-exactly (k/32768 * 32768 == k in float32), so fast
+    mode's int16 transfer loses nothing on int16 sources."""
+    if not native_loader.rows_loader_available(np.int16):
+        pytest.skip("i16 rows loader needs native version >= 3")
+    rng = np.random.default_rng(3)
+    pcm = rng.integers(-32768, 32768, 22050, dtype=np.int16)
+    p = tmp_path / "i16.wav"
+    # write_wav quantizes with a 32767 scale, so recover the words the
+    # file actually stores from the f32 decode (they must be integral
+    # multiples of 1/32768 — the decoder's k/32768 convention)
+    write_wav(p, pcm.astype(np.float32) / 32768.0, 22050)
+
+    dest_f32 = np.full(2048 + 22528, np.nan, np.float32)
+    native_loader.load_audio_into_native(p, dest_f32, 22050, 1.0, offset=1024)
+    stored = dest_f32 * 32768.0
+    np.testing.assert_array_equal(stored, np.rint(stored))  # k/32768 exact
+    dest_i16 = np.full(dest_f32.size, 7, np.int16)
+    native_loader.load_audio_into_native(p, dest_i16, 22050, 1.0, offset=1024)
+    # the i16 wire words ARE the stored PCM, and widening reproduces the
+    # f32 decode bit-exactly
+    np.testing.assert_array_equal(dest_i16, stored.astype(np.int16))
+    np.testing.assert_array_equal(
+        dest_i16.astype(np.float32) / 32768.0, dest_f32)
+    assert (dest_i16[:1024] == 0).all() and (dest_i16[1024 + 22050:] == 0).all()
+
+
+def test_rows_loader_i16_resampled_quantization_bound(wav_44k):
+    """Resampled sources: the i16 path is the f32 path plus one
+    round-to-nearest quantization, <= 0.5/32768 per sample."""
+    if not native_loader.rows_loader_available(np.int16):
+        pytest.skip("i16 rows loader needs native version >= 3")
+    p, _, _ = wav_44k
+    n = 2048 + 22528
+    f32 = np.empty(n, np.float32)
+    native_loader.load_audio_into_native(p, f32, 22050, 1.0, offset=1024)
+    i16 = np.empty(n, np.int16)
+    native_loader.load_audio_into_native(p, i16, 22050, 1.0, offset=1024)
+    np.testing.assert_allclose(
+        i16.astype(np.float32) / 32768.0, f32, atol=0.5 / 32768 + 1e-9)
+
+
+def test_jit_extractor_int16_widen_matches_f32():
+    """The device-side widen (x * 2^-15) must reproduce f32 features
+    exactly when inputs are representable int16 PCM."""
+    from tpuvae.config import PreprocessConfig
+    from tpuvae.dsp import extract_basic_features, jit_extractor
+
+    rng = np.random.default_rng(1)
+    pcm = rng.integers(-32768, 32768, (2, 22050), dtype=np.int16)
+    cfg = PreprocessConfig(duration=1.0)
+    fn = jit_extractor(extract_basic_features, cfg)
+    out_i16 = np.asarray(fn(pcm))
+    out_f32 = np.asarray(fn(pcm.astype(np.float32) / 32768.0))
+    np.testing.assert_array_equal(out_i16, out_f32)
+
+
+def test_resolve_transfer_dtype_modes():
+    from tpuvae.config import PreprocessConfig
+    from tpuvae.dsp import resolve_transfer_dtype
+
+    assert resolve_transfer_dtype(PreprocessConfig()) == np.int16
+    assert resolve_transfer_dtype(
+        PreprocessConfig(precision_mode="exact")) == np.float32
+    assert resolve_transfer_dtype(
+        PreprocessConfig(transfer_dtype="float32")) == np.float32
+    assert resolve_transfer_dtype(
+        PreprocessConfig(precision_mode="exact", transfer_dtype="int16")
+    ) == np.int16
+    with pytest.raises(ValueError):
+        resolve_transfer_dtype(PreprocessConfig(transfer_dtype="int8"))

@@ -97,6 +97,12 @@ class PreprocessConfig(_ConfigBase):
     # FFT elsewhere; 'dft' = dense DFT matmuls; 'pallas' = dense-DFT fusion
     # kernel (memory-lean opt-in); 'ct' = XLA Cooley-Tukey reference path
     stft_method: str = "auto"  # 'auto'|'fft'|'dft'|'ct'|'ct_pallas'|'pallas'
+    # host->device wire dtype for the extraction pipeline: 'int16' ships
+    # PCM and widens on device (x * 2^-15) — half the relay bytes, the
+    # measured e2e bottleneck; bit-exact for int16 sources at the target
+    # rate, <=1.5e-5 quantization otherwise.  'auto' = int16 in fast mode,
+    # float32 in exact mode (strict parity never quantizes).
+    transfer_dtype: str = "auto"   # 'auto'|'int16'|'float32'
 
     @property
     def num_samples(self) -> int:
@@ -131,6 +137,7 @@ class AdvancedPreprocessConfig(_ConfigBase):
     extract_batch: int = 128  # 2868 vs 2322 clips/s at B=64 (v5e measured)
     precision_mode: str = "fast"   # see PreprocessConfig.precision_mode
     stft_method: str = "auto"
+    transfer_dtype: str = "auto"   # see PreprocessConfig.transfer_dtype
     # 'inmem' | 'stream' | 'auto': how the mel artifacts are assembled from
     # extraction shards.  'stream' bounds host RAM to one shard + one chunk
     # (tpuvae.io.assembly); 'auto' streams once the raw mel tensor exceeds

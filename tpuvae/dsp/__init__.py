@@ -10,6 +10,7 @@ from tpuvae.dsp.primitives import (  # noqa: F401
 )
 from tpuvae.dsp.features import (  # noqa: F401
     resolve_numerics,
+    resolve_transfer_dtype,
     mel_power_from_stft,
     mel_db_ref_max,
     mfcc_from_mel_power,

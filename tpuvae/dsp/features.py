@@ -419,8 +419,35 @@ def extract_advanced(
     return mel_img, flat
 
 
+def resolve_transfer_dtype(cfg):
+    """numpy dtype for the host->device extraction wire format.
+
+    'int16' ships raw PCM and widens on device (``x * 2**-15``, an exact
+    power-of-two scale): half the transfer bytes over the host relay — the
+    measured end-to-end bottleneck (~40 MB/s, docs/PERFORMANCE.md pipeline
+    ledger).  Bit-exact for int16 WAV/FLAC sources already at the target
+    rate (``k/32768 * 32768 == k`` in float32); resampled or float sources
+    see one <=1.5e-5 round-to-nearest quantization.  'auto' maps to int16
+    in fast mode and float32 in exact mode, so strict-parity work never
+    quantizes."""
+    import numpy as np
+
+    raw = getattr(cfg, "transfer_dtype", "auto")
+    if raw == "auto":
+        raw = ("int16" if getattr(cfg, "precision_mode", "fast") == "fast"
+               else "float32")
+    if raw not in ("int16", "float32"):
+        raise ValueError(
+            f"transfer_dtype must be 'auto'|'int16'|'float32', got {raw!r}")
+    return np.dtype(raw)
+
+
 def jit_extractor(fn, cfg, **kwargs):
-    """jit-wrap an extractor with the config closed over (static shapes)."""
+    """jit-wrap an extractor with the config closed over (static shapes).
+
+    int16 input is understood as the PCM transfer encoding and widened
+    on device with the exact ``x * 2**-15`` scale (see
+    :func:`resolve_transfer_dtype`)."""
 
     def wrapped(y):
         if not (y.ndim == 2
@@ -431,6 +458,8 @@ def jit_extractor(fn, cfg, **kwargs):
                 f"(pre-rowed (B, n_rows, hop) input additionally needs "
                 f"num_samples=)"
             )
+        if y.dtype == jnp.int16:
+            y = y.astype(jnp.float32) * jnp.float32(1.0 / 32768.0)
         return fn(y, cfg, **kwargs)
 
     return jax.jit(wrapped)

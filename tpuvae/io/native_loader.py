@@ -68,6 +68,13 @@ def _get_lib():
                 ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
                 ctypes.c_int64,
             ]
+        if hasattr(lib, "tpuvae_load_audio_rows_i16"):  # native version >= 3
+            lib.tpuvae_load_audio_rows_i16.restype = ctypes.c_int
+            lib.tpuvae_load_audio_rows_i16.argtypes = [
+                ctypes.c_char_p, ctypes.c_int, ctypes.c_double,
+                ctypes.POINTER(ctypes.c_int16), ctypes.c_int64,
+                ctypes.c_int64,
+            ]
         _lib = lib
     except Exception:
         _build_failed = True
@@ -129,17 +136,29 @@ def load_audio_into_native(path, dest: np.ndarray, sample_rate: int = 22050,
     lib = _get_lib()
     if lib is None or not hasattr(lib, "tpuvae_load_audio_rows"):
         raise RuntimeError("native rows loader unavailable")
-    assert dest.dtype == np.float32 and dest.flags.c_contiguous, dest.dtype
-    rc = lib.tpuvae_load_audio_rows(
-        str(path).encode(), sample_rate, float(duration),
-        dest.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        dest.size, int(offset),
-    )
+    assert dest.flags.c_contiguous, "dest must be C-contiguous"
+    if dest.dtype == np.int16:
+        # int16 PCM transfer encoding (halves host->device relay bytes;
+        # bit-exact for int16 sources at the target rate — see wavload.cpp)
+        rc = lib.tpuvae_load_audio_rows_i16(
+            str(path).encode(), sample_rate, float(duration),
+            dest.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            dest.size, int(offset),
+        )
+    else:
+        assert dest.dtype == np.float32, dest.dtype
+        rc = lib.tpuvae_load_audio_rows(
+            str(path).encode(), sample_rate, float(duration),
+            dest.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            dest.size, int(offset),
+        )
     if rc != 0:
         raise IOError(f"native decode failed for {path} (rc={rc})")
 
 
-def rows_loader_available() -> bool:
+def rows_loader_available(dtype=np.float32) -> bool:
     if not native_available():
         return False
-    return hasattr(_get_lib(), "tpuvae_load_audio_rows")
+    sym = ("tpuvae_load_audio_rows_i16" if np.dtype(dtype) == np.int16
+           else "tpuvae_load_audio_rows")
+    return hasattr(_get_lib(), sym)

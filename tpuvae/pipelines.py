@@ -16,6 +16,7 @@ the mesh's data axis.  Artifact and CSV contracts match the reference's.
 from __future__ import annotations
 
 import os
+import time
 
 import jax
 import jax.numpy as jnp
@@ -157,17 +158,23 @@ def _extract_batched(entries, extract_fn, cfg, mesh: MeshContext,
         rows_loader_available,
     )
 
+    from tpuvae.dsp import resolve_transfer_dtype
+
     nsamp = int(cfg.sample_rate * cfg.duration)
     if row_shape is None:
         row_shape = (nsamp,)
     bs = cfg.extract_batch
     # sharded dim 0 must divide the mesh's data axis
     bs_padded = -(-bs // mesh.n_devices) * mesh.n_devices
+    # wire dtype: int16 PCM in fast mode halves the host->device bytes —
+    # the measured e2e bottleneck (~40 MB/s relay); the extractor widens
+    # on device (jit_extractor, exact 2^-15 scale)
+    wire = resolve_transfer_dtype(cfg)
     # 3 rotating buffers: one on device (transfer may still be reading it),
     # one being processed, one being decoded into
-    bufs = [np.zeros((bs_padded,) + tuple(row_shape), np.float32)
+    bufs = [np.zeros((bs_padded,) + tuple(row_shape), wire)
             for _ in range(3)]
-    use_native = rows_loader_available()
+    use_native = rows_loader_available(wire)
     ok_entries, outputs, failed = [], [], []
 
     def load_slot(e, dest):
@@ -177,11 +184,22 @@ def _extract_batched(entries, extract_fn, cfg, mesh: MeshContext,
                                    cfg.duration, sample_offset)
         else:
             y = load_audio(e.path, cfg.sample_rate, cfg.duration)
-            flat[:sample_offset] = 0.0
+            if wire == np.int16:
+                y = np.clip(np.rint(y * 32768.0), -32768, 32767)
+            flat[:sample_offset] = 0
             flat[sample_offset:sample_offset + nsamp] = y
-            flat[sample_offset + nsamp:] = 0.0
+            flat[sample_offset + nsamp:] = 0
+
+    # serial-path decomposition for the pipeline ledger: decode_wait is the
+    # time process() blocks on loader futures (0 when decode fully overlaps
+    # the previous batch's device work), transfer is the blocking
+    # device_put of the wire buffer, device is dispatch + result fetch
+    detail = {"decode_wait_s": 0.0, "transfer_s": 0.0, "device_s": 0.0,
+              "persist_s": 0.0, "wire_mb_per_batch":
+              round(bufs[0].nbytes / 2**20, 1)}
 
     def process(chunk, buf, futures):
+        t0 = time.time()
         kept = []
         for j, (e, fut) in enumerate(zip(chunk, futures)):
             try:
@@ -193,20 +211,28 @@ def _extract_batched(entries, extract_fn, cfg, mesh: MeshContext,
             if k != j:          # compact over failed slots (rare)
                 buf[k] = buf[j]
             kept.append(e)
+        t1 = time.time()
+        detail["decode_wait_s"] += t1 - t0
         if not kept:
             return
         arr = jax.device_put(
             buf, batch_sharding(mesh.mesh, buf.ndim, mesh.axis)
         )
+        jax.block_until_ready(arr)
+        t2 = time.time()
+        detail["transfer_s"] += t2 - t1
         out = extract_fn(arr)
         out_list = out if isinstance(out, tuple) else (out,)
         out_list = tuple(np.asarray(o)[: len(kept)] for o in out_list)
+        t3 = time.time()
+        detail["device_s"] += t3 - t2
         if manifest is not None:
             # shards on disk are the source of truth; don't hold a second
             # in-RAM copy of the whole dataset
             manifest.add_shard(
                 [e.file_id for e in kept], dict(zip(shard_keys, out_list))
             )
+            detail["persist_s"] += time.time() - t3
         else:
             outputs.append(out_list)
         ok_entries.extend(kept)
@@ -229,8 +255,12 @@ def _extract_batched(entries, extract_fn, cfg, mesh: MeshContext,
             if not pending:
                 break
             process(*pending.popleft())
+    detail = {k: (round(v, 2) if isinstance(v, float) else v)
+              for k, v in detail.items()}
     if logger:
-        logger.log("extract", ok=len(ok_entries), failed=len(failed))
+        logger.log("extract", ok=len(ok_entries), failed=len(failed),
+                   **detail)
+    _extract_batched.last_detail = detail    # pipeline-ledger introspection
     return ok_entries, outputs, failed
 
 
@@ -311,7 +341,8 @@ def preprocess_basic(
     logger.log("saved", dir=cfg.output_dir, n=len(ok),
                feature_dim=int(features.shape[1]), failed=len(failed),
                skipped=skipped)
-    return {"n": len(ok), "failed": failed, "stages": timer.stages}
+    return {"n": len(ok), "failed": failed, "stages": timer.stages,
+            "extract_detail": getattr(_extract_batched, "last_detail", None)}
 
 
 def preprocess_advanced(
@@ -421,7 +452,8 @@ def preprocess_advanced(
         manifest.cleanup()
     logger.log("saved", dir=cfg.output_dir, n=len(ok), failed=len(failed),
                skipped=skipped)
-    return {"n": len(ok), "failed": failed, "stages": timer.stages}
+    return {"n": len(ok), "failed": failed, "stages": timer.stages,
+            "extract_detail": getattr(_extract_batched, "last_detail", None)}
 
 
 # -----------------------------------------------------------------------------
