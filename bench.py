@@ -296,8 +296,7 @@ def _extra_metrics(cfg, clips, t_start):
 
     # --- end-to-end preprocess (cached corpus only: generation is ~30 min
     # of numpy synthesis and has no place inside the bench window) ---------
-    def _e2e():
-        import shutil
+    def _e2e(advanced=False):
         import subprocess
 
         corpus = Path("/tmp/tpuvae_e2e_corpus_1344")
@@ -308,23 +307,30 @@ def _extra_metrics(cfg, clips, t_start):
         # cap the subprocess at the parent's remaining budget so a slow
         # run degrades to a missing key, not a lost headline JSON
         sub_timeout = min(600.0, max(60.0, _remaining()))
+        cmd = [sys.executable, str(Path(__file__).parent / "benchmarks" /
+                                   "preprocess_e2e.py"), "--clips", "1344"]
+        tag = "advanced" if advanced else "basic"
+        if advanced:
+            cmd.append("--advanced")
         out = subprocess.run(
-            [sys.executable, str(Path(__file__).parent / "benchmarks" /
-                                 "preprocess_e2e.py"), "--clips", "1344"],
-            stdout=subprocess.PIPE, text=True, timeout=sub_timeout,
+            cmd, stdout=subprocess.PIPE, text=True, timeout=sub_timeout,
             cwd=str(Path(__file__).parent))
         if out.returncode == 0:
             rec = json.loads(out.stdout.strip().splitlines()[-1])
-            extra["preprocess_e2e_basic_clips_per_s"] = rec["clips_per_s"]
+            extra[f"preprocess_e2e_{tag}_clips_per_s"] = rec["clips_per_s"]
             # surface the stage decomposition next to the headline
             # (VERDICT r3 #3: the breakdown was computed but thrown away)
             if rec.get("stages"):
-                extra["preprocess_e2e_basic_stages_s"] = rec["stages"]
+                extra[f"preprocess_e2e_{tag}_stages_s"] = rec["stages"]
             if rec.get("extract_detail"):
-                extra["preprocess_e2e_basic_extract_detail"] = (
+                extra[f"preprocess_e2e_{tag}_extract_detail"] = (
                     rec["extract_detail"])
 
     fenced("preprocess_e2e_basic_clips_per_s", _e2e)
+    # the advanced path is the reference's actual production pipeline
+    # (1_preprocessing_advanced.py:279-316) — VERDICT r3 #5
+    fenced("preprocess_e2e_advanced_clips_per_s",
+           lambda: _e2e(advanced=True))
     return extra
 
 

@@ -86,6 +86,32 @@ def test_normalizers_match_sklearn():
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+def test_normalizers_host_and_device_paths_agree():
+    """Host numpy input must stay in numpy (no device dispatch — the
+    eager-jnp normalize stage cost 66 s through the TPU relay, round-4
+    pipeline ledger) and produce the same numbers as the jnp path a
+    jax.Array input takes (the mesh-sharded reduction route)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(40, 5)).astype(np.float32)
+    x[2, 1] = np.inf
+    x[7, 3] = np.nan
+    host, imp_h, sc_h = impute_and_scale(x)
+    dev, imp_d, sc_d = impute_and_scale(jnp.asarray(x))
+    np.testing.assert_allclose(host, dev, atol=1e-6)
+    np.testing.assert_allclose(imp_h.means, imp_d.means, atol=1e-6)
+    np.testing.assert_allclose(sc_h.scale, sc_d.scale, atol=1e-6)
+    # fitted params are host arrays either way (picklable artifacts)
+    assert isinstance(sc_d.mean, np.ndarray)
+    # transform honors the input's module: numpy in -> numpy math
+    s = StandardScaler().fit(x[:, :2][np.isfinite(x[:, :2]).all(1)])
+    out = s.transform(np.ones((3, 2), np.float32))
+    assert isinstance(out, np.ndarray)
+    np.testing.assert_allclose(
+        s.inverse_transform(s.transform(x[:5, :2])), x[:5, :2], rtol=1e-4)
+
+
 def test_mel_image_normalizer_per_pixel():
     rng = np.random.default_rng(0)
     mels = rng.normal(2.0, 3.0, size=(20, 8, 16)).astype(np.float32)

@@ -2,10 +2,17 @@
 
 Capability match of the reference's sklearn preprocessing (C9;
 ``1_preprocessing.py:305-311``, ``1_preprocessing_advanced.py:376-391``):
-inf→NaN masking, column-mean imputation, per-feature standardization — but
-the reductions run on device (sharded mean/var psum under pjit when the data
-is mesh-sharded), and the fitted parameters are tiny serializable dataclasses
-persisted as the ``scaler.pkl``/``imputer.pkl`` artifacts.
+inf→NaN masking, column-mean imputation, per-feature standardization.  The
+fitted parameters are tiny serializable dataclasses persisted as the
+``scaler.pkl``/``imputer.pkl`` artifacts.
+
+Array-module dispatch: host ``np.ndarray`` input computes in numpy —
+shipping a small host matrix to the device for a handful of eager
+reductions costs ~66 s of remote-dispatch overhead through the TPU relay
+(round-4 pipeline ledger, docs/PERFORMANCE.md) for work numpy finishes in
+milliseconds.  A ``jax.Array`` input keeps the jnp path, so mesh-sharded
+data still reduces on device (GSPMD turns the column means/vars into
+psums over the data axis).
 """
 
 from __future__ import annotations
@@ -16,6 +23,11 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _xp(x):
+    """numpy for host arrays, jnp for jax arrays (see module docstring)."""
+    return np if isinstance(x, np.ndarray) else jnp
+
+
 @dataclasses.dataclass
 class MeanImputer:
     """inf→NaN then column-mean imputation (SimpleImputer(strategy='mean'))."""
@@ -23,15 +35,20 @@ class MeanImputer:
     means: np.ndarray | None = None
 
     def fit(self, x) -> "MeanImputer":
-        x = jnp.asarray(x)
-        x = jnp.where(jnp.isinf(x), jnp.nan, x)
-        self.means = np.asarray(jnp.nanmean(x, axis=0))
+        xp = _xp(x)
+        x = xp.where(xp.isinf(x), xp.nan, x)
+        import warnings
+
+        with warnings.catch_warnings():
+            # all-NaN columns mean-impute to NaN (jnp semantics, silent)
+            warnings.simplefilter("ignore", RuntimeWarning)
+            self.means = np.asarray(xp.nanmean(x, axis=0))
         return self
 
     def transform(self, x) -> np.ndarray:
-        x = jnp.asarray(x)
-        x = jnp.where(jnp.isinf(x), jnp.nan, x)
-        out = jnp.where(jnp.isnan(x), jnp.asarray(self.means)[None, :], x)
+        xp = _xp(x)
+        x = xp.where(xp.isinf(x), xp.nan, x)
+        out = xp.where(xp.isnan(x), xp.asarray(self.means)[None, :], x)
         return np.asarray(out)
 
     def fit_transform(self, x) -> np.ndarray:
@@ -47,23 +64,25 @@ class StandardScaler:
     scale: np.ndarray | None = None
 
     def fit(self, x) -> "StandardScaler":
-        x = jnp.asarray(x)
-        mean = jnp.mean(x, axis=0)
-        var = jnp.var(x, axis=0)
-        scale = jnp.sqrt(var)
-        scale = jnp.where(scale == 0.0, 1.0, scale)
+        xp = _xp(x)
+        mean = xp.mean(x, axis=0, dtype=x.dtype)
+        var = xp.var(x, axis=0, dtype=x.dtype)
+        scale = xp.sqrt(var)
+        scale = xp.where(scale == 0.0, xp.asarray(1.0, scale.dtype), scale)
         self.mean, self.scale = np.asarray(mean), np.asarray(scale)
         return self
 
     def transform(self, x) -> np.ndarray:
-        out = (jnp.asarray(x) - jnp.asarray(self.mean)) / jnp.asarray(self.scale)
+        xp = _xp(x)
+        out = (x - xp.asarray(self.mean)) / xp.asarray(self.scale)
         return np.asarray(out)
 
     def fit_transform(self, x) -> np.ndarray:
         return self.fit(x).transform(x)
 
     def inverse_transform(self, x) -> np.ndarray:
-        out = jnp.asarray(x) * jnp.asarray(self.scale) + jnp.asarray(self.mean)
+        xp = _xp(x)
+        out = x * xp.asarray(self.scale) + xp.asarray(self.mean)
         return np.asarray(out)
 
 
