@@ -1,4 +1,5 @@
 from tpuvae.io.wav import load_audio, read_wav, to_mono, resample_poly  # noqa: F401
+from tpuvae.io.mp3 import mp3_available, read_mp3  # noqa: F401
 from tpuvae.io.catalog import AudioEntry, collect_audio_files, load_metadata  # noqa: F401
 from tpuvae.io.normalize import (  # noqa: F401
     MeanImputer,

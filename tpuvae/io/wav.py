@@ -121,6 +121,15 @@ def load_audio(
         from tpuvae.io.flac import read_flac
 
         x, sr = read_flac(path)
+    elif magic[:4] != b"RIFF":
+        from tpuvae.io import mp3
+
+        if mp3.looks_like_mp3(magic):
+            # container breadth parity with librosa.load
+            # (ref 1_preprocessing.py:140-144); decode via libmpg123
+            x, sr = mp3.read_mp3(path)
+        else:
+            x, sr = read_wav(path)   # raises the WAV parser's clear error
     else:
         x, sr = read_wav(path)
     y = to_mono(x)

@@ -180,15 +180,21 @@ def _extract_batched(entries, extract_fn, cfg, mesh: MeshContext,
     def load_slot(e, dest):
         flat = dest.reshape(-1)
         if use_native:
-            load_audio_into_native(e.path, flat, cfg.sample_rate,
-                                   cfg.duration, sample_offset)
-        else:
-            y = load_audio(e.path, cfg.sample_rate, cfg.duration)
-            if wire == np.int16:
-                y = np.clip(np.rint(y * 32768.0), -32768, 32767)
-            flat[:sample_offset] = 0
-            flat[sample_offset:sample_offset + nsamp] = y
-            flat[sample_offset + nsamp:] = 0
+            try:
+                load_audio_into_native(e.path, flat, cfg.sample_rate,
+                                       cfg.duration, sample_offset)
+                return
+            except IOError:
+                # containers the C++ decoder doesn't know (e.g. MP3)
+                # fall through to the Python loader, same slot contract
+                pass
+        y = load_audio(e.path, cfg.sample_rate, cfg.duration,
+                       prefer_native=False)
+        if wire == np.int16:
+            y = np.clip(np.rint(y * 32768.0), -32768, 32767)
+        flat[:sample_offset] = 0
+        flat[sample_offset:sample_offset + nsamp] = y
+        flat[sample_offset + nsamp:] = 0
 
     # serial-path decomposition for the pipeline ledger: decode_wait is the
     # time process() blocks on loader futures (0 when decode fully overlaps
