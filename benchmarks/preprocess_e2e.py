@@ -56,6 +56,8 @@ def main():
     ap.add_argument("--advanced", action="store_true",
                     help="run preprocess-advanced (mel image + 290-d + "
                          "lyrics) instead of basic")
+    ap.add_argument("--precision", default=None,
+                    help="override precision_mode ('fast'|'exact')")
     ap.add_argument("--out", default="/tmp/tpuvae_e2e_out")
     ap.add_argument("--keep", action="store_true",
                     help="keep the output dir (default: wiped before run)")
@@ -81,6 +83,8 @@ def main():
         dataset_root=str(root), metadata_csv=str(root / "updated_metadata.csv"),
         output_dir=str(out), max_samples_per_class=10_000,
     )
+    if args.precision:
+        common["precision_mode"] = args.precision
     if args.advanced:
         from tpuvae.pipelines import preprocess_advanced as run
         cfg = AdvancedPreprocessConfig(**common)

@@ -98,13 +98,25 @@ def run_parity(
 # -----------------------------------------------------------------------------
 
 QUALITY_FLOORS = {
-    # K-Means on raw handcrafted features ("Direct Spectral",
-    # ref Conditional_VAE.py:454-459) involves no VAE training at all, so a
-    # miss here means the DSP/normalization chain itself regressed — the
-    # exact failure mode reproducibility checks cannot see (a broken
-    # filterbank constant degrades every run identically).
-    "direct_ari": 0.7,
-    "direct_purity": 0.85,
+    # K-Means on the BASIC 370-d features involves no VAE training at all,
+    # so a miss here means the DSP/normalization chain itself regressed —
+    # the exact failure mode reproducibility checks cannot see (a broken
+    # filterbank constant degrades every run identically).  The strict
+    # absolute bar lives HERE because the 370-d vector (with its 80 MFCC
+    # timbre dims) recovers the planted genres at ARI ≥0.97 at both the
+    # tiny CPU-test corpus AND the 1,344×30 s reference-scale corpus
+    # (round-4 TPU measurement).
+    "direct370_ari": 0.7,
+    "direct370_purity": 0.85,
+    # "Direct Spectral" (ref Conditional_VAE.py:454-459) clusters the
+    # MFCC-less 290-d flats, whose absolute separability is
+    # corpus-dependent: 1.0 purity on the tiny 2 s corpus but 0.73 at
+    # 1,344×30 s IN EXACT MODE TOO (fast 0.523 vs exact 0.529 ARI,
+    # round-4 A/B) — an intrinsic property of the feature set, not
+    # numerics.  Its floors are therefore margin-above-chance, still
+    # catching "features carry no genre signal".
+    "direct_ari": 0.3,
+    "direct_purity_margin": 0.4,   # above the majority-class share
     # trained-model floors are intentionally loose: they gate "learned
     # nothing / collapsed", not "matched the best run ever"
     "cvae_purity_margin": 0.15,   # above the majority-class share
@@ -164,6 +176,30 @@ def run_quality(
     problems: list[str] = []
     values: dict[str, float] = {"majority_class_share": round(float(majority), 4)}
 
+    # direct K-Means on the basic 370-d features: the strict DSP-chain
+    # gate (see QUALITY_FLOORS) — computed here, no VAE involved
+    from tpuvae.cluster import kmeans
+    from tpuvae.metrics import adjusted_rand_score, purity_score
+    from tpuvae.metrics.labels import compact_labels
+
+    x370 = np.load(Path(data1) / "features_normalized.npy").astype(np.float32)
+    y370 = np.load(Path(data1) / "labels.npy", allow_pickle=True)
+    cls370, yt370 = np.unique(y370, return_inverse=True)
+    km = kmeans(x370, len(cls370), n_init=10, seed=42)
+    lab370, k370 = compact_labels(np.asarray(km.labels))
+    ari370 = float(adjusted_rand_score(yt370, lab370, len(cls370), k370))
+    pur370 = float(purity_score(yt370, lab370, len(cls370), k370))
+    values["direct370_ari"] = ari370
+    values["direct370_purity"] = pur370
+    if ari370 < fl["direct370_ari"]:
+        problems.append(
+            f"370-d direct K-Means ARI {ari370:.3f} < floor "
+            f"{fl['direct370_ari']} — the DSP/normalization chain regressed")
+    if pur370 < fl["direct370_purity"]:
+        problems.append(
+            f"370-d direct K-Means purity {pur370:.3f} < floor "
+            f"{fl['direct370_purity']}")
+
     def _one(mask, what):
         rows = df[mask]
         if len(rows) == 0:
@@ -179,12 +215,13 @@ def run_quality(
         if r["ARI"] < fl["direct_ari"]:
             problems.append(
                 f"Direct Spectral ARI {r['ARI']:.3f} < floor "
-                f"{fl['direct_ari']} — handcrafted-feature quality regressed"
+                f"{fl['direct_ari']} — 290-d flats carry no genre signal"
             )
-        if r["Purity"] < fl["direct_purity"]:
+        floor = majority + fl["direct_purity_margin"]
+        if r["Purity"] < floor:
             problems.append(
-                f"Direct Spectral purity {r['Purity']:.3f} < floor "
-                f"{fl['direct_purity']}"
+                f"Direct Spectral purity {r['Purity']:.3f} < "
+                f"majority-share+margin {floor:.3f}"
             )
 
     r = _one(df.get("Method", pd.Series(dtype=str)) == "CVAE (Multi-Modal)",
