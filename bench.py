@@ -210,7 +210,14 @@ def _extra_metrics(cfg, clips, t_start):
             t0 = time.time()
             for i in range(reps):
                 out = fn_(xs[i % len(xs)])
-            jax.tree_util.tree_map(np.asarray, out)
+            # sync on the SMALLEST leaf: any output of the executable
+            # completes only when the whole execution does, and fetching
+            # the 64 MB mel-image tensor through the ~30 MB/s relay would
+            # bill one host transfer to a device-throughput metric
+            # (measured: 378 vs ~4900 clips/s advanced).  The transfer
+            # cost is the e2e metrics' job.
+            leaves = jax.tree_util.tree_leaves(out)
+            np.asarray(min(leaves, key=lambda a: a.size))
             best = min(best, (time.time() - t0) / reps)
         return best
 
