@@ -37,7 +37,8 @@ def hz_to_mel(f):
     lin = f / (200.0 / 3.0)
     brk = 1000.0 / (200.0 / 3.0)
     log_step = np.log(6.4) / 27.0
-    return np.where(f >= 1000.0, brk + np.log(f / 1000.0) / log_step, lin)
+    safe = np.maximum(f, 1000.0)   # where() evaluates both branches; avoid log(0)
+    return np.where(f >= 1000.0, brk + np.log(safe / 1000.0) / log_step, lin)
 
 
 def mel_to_hz(m):

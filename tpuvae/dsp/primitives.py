@@ -269,7 +269,10 @@ def _hz_to_mel(f: np.ndarray) -> np.ndarray:
     min_log_hz = 1000.0
     min_log_mel = min_log_hz / f_sp
     logstep = np.log(6.4) / 27.0
-    return np.where(f >= min_log_hz, min_log_mel + np.log(f / min_log_hz) / logstep, mels)
+    # Clamp the log argument: np.where still evaluates the discarded branch,
+    # and f=0 (the DC bin) would emit a spurious divide-by-zero warning.
+    safe = np.maximum(f, min_log_hz)
+    return np.where(f >= min_log_hz, min_log_mel + np.log(safe / min_log_hz) / logstep, mels)
 
 
 def _mel_to_hz(m: np.ndarray) -> np.ndarray:
