@@ -129,11 +129,14 @@ def concurrent_load_bench(enc, waves, batch, n_clients, seconds):
     def run_clients(submit_one):
         stop = time.time() + seconds
         counts = [0] * n_clients
+        lats = [[] for _ in range(n_clients)]   # per-request wall seconds
 
         def client(i):
             clip = waves[i % len(waves)][None]
             while time.time() < stop:
+                t0 = time.time()
                 submit_one(clip)
+                lats[i].append(time.time() - t0)
                 counts[i] += 1
 
         threads = [threading.Thread(target=client, args=(i,))
@@ -143,7 +146,10 @@ def concurrent_load_bench(enc, waves, batch, n_clients, seconds):
             t.start()
         for t in threads:
             t.join()
-        return sum(counts) / (time.time() - t0)
+        all_lats = np.sort(np.concatenate([np.asarray(v) for v in lats]))
+        p50 = float(np.percentile(all_lats, 50)) * 1e3
+        p99 = float(np.percentile(all_lats, 99)) * 1e3
+        return sum(counts) / (time.time() - t0), p50, p99
 
     lock = threading.Lock()
 
@@ -151,11 +157,11 @@ def concurrent_load_bench(enc, waves, batch, n_clients, seconds):
         with lock:
             enc.encode_waveforms(clip, batch_size=batch)
 
-    rate_serial = run_clients(serialized)
+    rate_serial, p50_s, p99_s = run_clients(serialized)
 
     batcher = MicroBatcher(enc, max_batch=batch, max_wait_ms=10.0)
     try:
-        rate_batched = run_clients(
+        rate_batched, p50_b, p99_b = run_clients(
             lambda clip: batcher.encode_waveforms(clip))
         stats = (f"{batcher.requests_batched} requests in "
                  f"{batcher.batches_run} device batches")
@@ -164,6 +170,19 @@ def concurrent_load_bench(enc, waves, batch, n_clients, seconds):
     print(f"simple concurrent 1-clip requests x{n_clients} clients: "
           f"{rate_serial:.1f} req/s serialized -> {rate_batched:.1f} req/s "
           f"micro-batched ({rate_batched / rate_serial:.1f}x; {stats})")
+    print(f"latency ms serialized p50={p50_s:.1f} p99={p99_s:.1f}; "
+          f"micro-batched p50={p50_b:.1f} p99={p99_b:.1f}")
+    import json
+
+    print(json.dumps({
+        "serving": {"clients": n_clients, "batch": batch,
+                    "serialized": {"req_per_s": round(rate_serial, 1),
+                                   "p50_ms": round(p50_s, 1),
+                                   "p99_ms": round(p99_s, 1)},
+                    "micro_batched": {"req_per_s": round(rate_batched, 1),
+                                      "p50_ms": round(p50_b, 1),
+                                      "p99_ms": round(p99_b, 1)},
+                    "speedup": round(rate_batched / rate_serial, 2)}}))
 
 
 if __name__ == "__main__":

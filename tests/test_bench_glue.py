@@ -105,3 +105,52 @@ def test_bench_importable_and_extras_fenced():
                         and sub.func.id == "_extra_metrics"):
                     fenced = True
     assert fenced, "result['extra'] assignment is not inside try/except"
+
+
+# --- round-5 driver-record plumbing (VERDICT r4 #1) --------------------------
+
+def _import_bench():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("bench", REPO / "bench.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_bench_prior_records_parse():
+    """_prior_records must read every BENCH_r*.json in the repo without
+    raising, oldest first, and surface their extra dicts."""
+    bench = _import_bench()
+    recs = bench._prior_records()
+    stems = [s for s, _ in recs]
+    assert stems == sorted(stems)
+    for _, extra in recs:
+        assert isinstance(extra, dict)
+
+
+def test_bench_never_recorded_extras_run_first():
+    bench = _import_bench()
+    records = [("BENCH_r03", {"a": 1.0, "c": {"value": 2.0, "stale": True,
+                                              "source": "BENCH_r02"}})]
+    recorded = bench._fresh_keys_ever_recorded(records)
+    assert recorded == {"a"}          # stale carry-forwards don't count
+    blocks = [("a", None), ("b", None), ("c", None)]
+    ordered = [n for n, _ in bench._order_blocks(blocks, recorded)]
+    assert ordered == ["b", "c", "a"]
+
+
+def test_bench_stale_carry_forward():
+    bench = _import_bench()
+    records = [
+        ("BENCH_r02", {"x": 10.0, "y": 5.0}),
+        ("BENCH_r03", {"x": 11.0,
+                       "y": {"value": 5.0, "stale": True,
+                             "source": "BENCH_r02"}}),
+    ]
+    extra = {"x": 12.0}    # x measured fresh this run; y was budget-cut
+    carried = bench._carry_stale(extra, records)
+    assert extra["x"] == 12.0                       # fresh value untouched
+    assert extra["y"] == {"value": 5.0, "stale": True,
+                          "source": "BENCH_r02"}    # original provenance kept
+    assert carried == [("y", "BENCH_r02")]

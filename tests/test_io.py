@@ -173,3 +173,27 @@ def test_sentence_encoder_graph_shapes():
     ids2 = ids.at[2, 5:].set(7)
     out2 = model.apply(params, ids2, mask)
     np.testing.assert_allclose(np.asarray(out[2]), np.asarray(out2[2]), atol=1e-5)
+
+
+def test_synth_separation_knob():
+    """separation=1.0 must be bit-identical to the pre-knob generator (the
+    golden corpora depend on the default RNG stream), and separation<1 must
+    actually shrink inter-genre spectral distinctiveness."""
+    from tpuvae.io.synthetic import _blend_profile, GENRE_PROFILES
+
+    for g, prof in GENRE_PROFILES.items():
+        assert _blend_profile(g, 1.0) == prof
+    # default-path clip: same rng consumption regardless of the knob's
+    # existence (one clip, fixed seed)
+    a = synth_clip("rock", np.random.default_rng(5), duration=0.5)
+    b = synth_clip("rock", np.random.default_rng(5), duration=0.5,
+                   separation=1.0)
+    np.testing.assert_array_equal(a, b)
+    # harder corpus: profile parameters move toward the cross-genre mean
+    spread = lambda s: np.ptp([_blend_profile(g, s)[0]
+                               for g in GENRE_PROFILES])
+    assert spread(0.75) < spread(1.0)
+    assert spread(0.25) < spread(0.75)
+    # fully collapsed: all genres share one profile
+    collapsed = {_blend_profile(g, 0.0) for g in GENRE_PROFILES}
+    assert len(collapsed) == 1

@@ -101,7 +101,7 @@ def _dispatch(argv) -> int:
     cmd, *rest = argv
     shared = {"data_dir", "data1_dir", "data2_dir", "results_dir", "root",
               "clips_per_genre_lang", "seed_data", "out_dir", "tol", "fast",
-              "container"}
+              "container", "separation"}
     cfg_args, extras = _split_args(rest, shared)
 
     if cmd == "synth-data":
@@ -111,6 +111,8 @@ def _dispatch(argv) -> int:
             extras.get("root", "Datasets"),
             clips_per_genre_lang=int(extras.get("clips_per_genre_lang", 4)),
             container=extras.get("container", "wav"),
+            seed=int(extras.get("seed_data", 42)),
+            separation=float(extras.get("separation", 1.0)),
         )
         print(f"synthetic dataset written; metadata: {meta}")
         return 0

@@ -31,11 +31,39 @@ LYRICS_BANK = {
     "en": "the road goes ever on and on down from the door where it began",
 }
 
+# cross-genre mean profile (arithmetic; pitch handled geometrically below):
+# the target every profile collapses onto as ``separation`` → 0
+_MEAN_PROFILE = tuple(
+    float(np.mean([p[i] for p in GENRE_PROFILES.values()]))
+    for i in range(4)
+)
+
+
+def _blend_profile(genre: str, separation: float):
+    """Interpolate a genre's spectral signature toward the cross-genre mean.
+
+    ``separation=1`` is the unmodified profile (the default corpus);
+    ``separation=0`` makes every genre identical.  Pitch blends in the log
+    domain (perceptual), the rest linearly.  Used by the quality gate's
+    second-corpus calibration (VERDICT r4 #6): floors must hold on a
+    HARDER corpus than the one they were first calibrated on.
+    """
+    base, n_harm, noise, am = GENRE_PROFILES[genre]
+    if separation == 1.0:
+        return base, n_harm, noise, am
+    mb, mh, mn, ma = _MEAN_PROFILE
+    base = float(mb * (base / mb) ** separation)
+    n_harm = max(1, round(n_harm * separation + mh * (1.0 - separation)))
+    noise = noise * separation + mn * (1.0 - separation)
+    am = am * separation + ma * (1.0 - separation)
+    return base, n_harm, noise, am
+
 
 def synth_clip(
-    genre: str, rng: np.random.Generator, sr: int = 22050, duration: float = 30.0
+    genre: str, rng: np.random.Generator, sr: int = 22050,
+    duration: float = 30.0, separation: float = 1.0,
 ) -> np.ndarray:
-    base, n_harm, noise, am = GENRE_PROFILES[genre]
+    base, n_harm, noise, am = _blend_profile(genre, separation)
     t = np.arange(int(sr * duration)) / sr
     f0 = base * 2 ** (rng.integers(-2, 3) / 12.0)   # random transposition
     y = np.zeros_like(t, dtype=np.float64)
@@ -68,11 +96,14 @@ def generate_dataset(
     include_lyricless: bool = True,
     include_jazz: bool = False,
     container: str = "wav",
+    separation: float = 1.0,
 ) -> Path:
     """Write a reference-layout synthetic corpus; returns metadata csv path.
 
     ``container`` ∈ {'wav', 'flac', 'mixed'} — 'mixed' alternates per clip,
     exercising the loader's magic-byte dispatch across a whole pipeline run.
+    ``separation`` < 1 blends genre signatures toward their mean (harder
+    clustering problem; see :func:`_blend_profile`).
     """
     if container not in ("wav", "flac", "mixed"):
         raise ValueError(f"unknown container {container!r}")
@@ -89,7 +120,7 @@ def generate_dataset(
                 file_id = f"{lang}_{genre}_{idx:04d}"
                 idx += 1
                 y = synth_clip(genre if genre != "jazz" else "classical",
-                               rng, sr, duration)
+                               rng, sr, duration, separation=separation)
                 as_flac = container == "flac" or (
                     container == "mixed" and idx % 2 == 0)
                 if as_flac:

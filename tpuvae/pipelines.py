@@ -196,15 +196,47 @@ def _extract_batched(entries, extract_fn, cfg, mesh: MeshContext,
         flat[sample_offset:sample_offset + nsamp] = y
         flat[sample_offset + nsamp:] = 0
 
-    # serial-path decomposition for the pipeline ledger: decode_wait is the
-    # time process() blocks on loader futures (0 when decode fully overlaps
-    # the previous batch's device work), transfer is the blocking
-    # device_put of the wire buffer, device is dispatch + result fetch
+    # serial-path decomposition for the pipeline ledger (main-thread wall =
+    # decode_wait + transfer + device + drain_wait + loop overhead):
+    #   decode_wait  — blocking on loader futures (0 when decode fully
+    #                  overlaps the previous batch's device work)
+    #   transfer     — the blocking host→device put of the wire buffer
+    #   device       — extraction DISPATCH (async; compute overlaps the
+    #                  drain worker's fetch of the previous batch)
+    #   drain_wait   — backpressure: blocking on the drain worker when >1
+    #                  output is still in flight
+    # The output side runs on a single drain worker thread (VERDICT r4 #3):
+    #   fetch_worker_s / persist_worker_s — device→host fetch and shard
+    #   write, OVERLAPPED with the next batch's decode + H2D + compute,
+    #   so they don't serialize into the wall unless they dominate it
+    #   (then they surface as drain_wait).
     detail = {"decode_wait_s": 0.0, "transfer_s": 0.0, "device_s": 0.0,
-              "persist_s": 0.0, "wire_mb_per_batch":
+              "drain_wait_s": 0.0, "fetch_worker_s": 0.0,
+              "persist_worker_s": 0.0, "wire_mb_per_batch":
               round(bufs[0].nbytes / 2**20, 1)}
 
-    def process(chunk, buf, futures):
+    def drain_one(kept, out_dev):
+        t0 = time.time()
+        # the fetch syncs on device compute AND pulls the result through
+        # the relay; running it here lets the main thread ship the next
+        # batch's H2D put concurrently (full-duplex relay use)
+        out_np = tuple(np.asarray(o)[: len(kept)] for o in out_dev)
+        t1 = time.time()
+        detail["fetch_worker_s"] += t1 - t0
+        if manifest is not None:
+            # shards on disk are the source of truth; don't hold a second
+            # in-RAM copy of the whole dataset
+            manifest.add_shard(
+                [e.file_id for e in kept], dict(zip(shard_keys, out_np))
+            )
+            detail["persist_worker_s"] += time.time() - t1
+        else:
+            outputs.append(out_np)
+        ok_entries.extend(kept)
+
+    drain: deque = deque()      # in-flight (future) outputs, depth ≤ 2
+
+    def process(chunk, buf, futures, writer):
         t0 = time.time()
         kept = []
         for j, (e, fut) in enumerate(zip(chunk, futures)):
@@ -229,24 +261,19 @@ def _extract_batched(entries, extract_fn, cfg, mesh: MeshContext,
         detail["transfer_s"] += t2 - t1
         out = extract_fn(arr)
         out_list = out if isinstance(out, tuple) else (out,)
-        out_list = tuple(np.asarray(o)[: len(kept)] for o in out_list)
-        t3 = time.time()
-        detail["device_s"] += t3 - t2
-        if manifest is not None:
-            # shards on disk are the source of truth; don't hold a second
-            # in-RAM copy of the whole dataset
-            manifest.add_shard(
-                [e.file_id for e in kept], dict(zip(shard_keys, out_list))
-            )
-            detail["persist_s"] += time.time() - t3
-        else:
-            outputs.append(out_list)
-        ok_entries.extend(kept)
+        detail["device_s"] += time.time() - t2
+        # bound in-flight device outputs (2 × the mel image ≈ 170 MB HBM)
+        while len(drain) >= 2:
+            t3 = time.time()
+            drain.popleft().result()
+            detail["drain_wait_s"] += time.time() - t3
+        drain.append(writer.submit(drain_one, kept, out_list))
 
     it = iter(entries)
     pending: deque = deque()
     ci = 0
-    with ThreadPoolExecutor(max_workers=_loader_workers()) as pool:
+    with ThreadPoolExecutor(max_workers=_loader_workers()) as pool, \
+            ThreadPoolExecutor(max_workers=1) as writer:
         while True:
             while len(pending) < 2:
                 chunk = list(islice(it, bs))
@@ -260,7 +287,11 @@ def _extract_batched(entries, extract_fn, cfg, mesh: MeshContext,
                 ]))
             if not pending:
                 break
-            process(*pending.popleft())
+            process(*pending.popleft(), writer)
+        while drain:            # propagate drain-worker exceptions
+            t3 = time.time()
+            drain.popleft().result()
+            detail["drain_wait_s"] += time.time() - t3
     detail = {k: (round(v, 2) if isinstance(v, float) else v)
               for k, v in detail.items()}
     if logger:
@@ -295,10 +326,11 @@ def preprocess_basic(
     mesh = mesh or MeshContext.create()
     logger = logger or RunLogger()
     timer = StageTimer(logger, profile_dir=os.environ.get("TPUVAE_PROFILE_DIR"))
-    entries, skipped = collect_audio_files(
-        cfg.dataset_root, cfg.metadata_csv,
-        max_per_class=cfg.max_samples_per_class, strict=False,
-    )
+    with timer.stage("catalog"):
+        entries, skipped = collect_audio_files(
+            cfg.dataset_root, cfg.metadata_csv,
+            max_per_class=cfg.max_samples_per_class, strict=False,
+        )
     manifest = None
     pending = entries
     if resume:
@@ -336,12 +368,15 @@ def preprocess_basic(
     labels = np.array([e.genre for e in ok])
     with timer.stage("normalize"):
         normalized, imputer, scaler = impute_and_scale(features)
-    save_basic(
-        cfg.output_dir,
-        features_raw=features, features_normalized=normalized, labels=labels,
-        metadata=_metadata_frame(ok, labels)[["language", "genre", "filename", "label"]],
-        scaler=scaler, imputer=imputer, config=cfg,
-    )
+    with timer.stage("save_artifacts"):   # the r4 ledger's untimed tail
+        save_basic(
+            cfg.output_dir,
+            features_raw=features, features_normalized=normalized,
+            labels=labels,
+            metadata=_metadata_frame(ok, labels)[
+                ["language", "genre", "filename", "label"]],
+            scaler=scaler, imputer=imputer, config=cfg,
+        )
     if manifest is not None:
         manifest.cleanup()
     logger.log("saved", dir=cfg.output_dir, n=len(ok),
@@ -367,11 +402,13 @@ def preprocess_advanced(
     mesh = mesh or MeshContext.create()
     logger = logger or RunLogger()
     timer = StageTimer(logger, profile_dir=os.environ.get("TPUVAE_PROFILE_DIR"))
-    entries, skipped = collect_audio_files(
-        cfg.dataset_root, cfg.metadata_csv,
-        max_per_class=cfg.max_samples_per_class, strict=True,
-        exclude_genres=cfg.exclude_genres, min_lyrics_chars=cfg.min_lyrics_chars,
-    )
+    with timer.stage("catalog"):
+        entries, skipped = collect_audio_files(
+            cfg.dataset_root, cfg.metadata_csv,
+            max_per_class=cfg.max_samples_per_class, strict=True,
+            exclude_genres=cfg.exclude_genres,
+            min_lyrics_chars=cfg.min_lyrics_chars,
+        )
     if not entries:
         raise ValueError("No audio files collected! Check paths and metadata.")
     manifest = None
@@ -443,17 +480,20 @@ def preprocess_advanced(
         else:  # mel artifacts + scaler already written by the streaming pass
             mel_norm = None
         flat_norm, imputer, flat_scaler = impute_and_scale(flats)
-    save_advanced(
-        cfg.output_dir,
-        mel_raw=mels, mel_normalized=mel_norm,
-        features_raw=flats, features_normalized=flat_norm,
-        lyrics_embeddings=embeddings, labels=labels,
-        metadata=_metadata_frame(ok, labels),
-        mel_scaler=mel_scaler, flat_scaler=flat_scaler, imputer=imputer,
-        # record WHICH embedder produced lyrics_embeddings.npy so downstream
-        # results are attributable (hashed-ngram fallback ≠ sentence encoder)
-        config={**cfg.to_dict(), "lyrics_embedder_backend": embedder_backend},
-    )
+    with timer.stage("save_artifacts"):   # the r4 ledger's untimed tail
+        save_advanced(
+            cfg.output_dir,
+            mel_raw=mels, mel_normalized=mel_norm,
+            features_raw=flats, features_normalized=flat_norm,
+            lyrics_embeddings=embeddings, labels=labels,
+            metadata=_metadata_frame(ok, labels),
+            mel_scaler=mel_scaler, flat_scaler=flat_scaler, imputer=imputer,
+            # record WHICH embedder produced lyrics_embeddings.npy so
+            # downstream results are attributable (hashed-ngram fallback ≠
+            # sentence encoder)
+            config={**cfg.to_dict(),
+                    "lyrics_embedder_backend": embedder_backend},
+        )
     if manifest is not None:
         manifest.cleanup()
     logger.log("saved", dir=cfg.output_dir, n=len(ok), failed=len(failed),
