@@ -91,9 +91,14 @@ def main():
     import jax
 
     log(f"backend: {jax.default_backend()}  data2={data2}  epochs={epochs}")
-    cfg = json.loads((data2 / "preprocess_config.json").read_text()) \
-        if (data2 / "preprocess_config.json").exists() else {}
-    backend = cfg.get("lyrics_embedder_backend", "unknown")
+    backend = "unknown"
+    if (data2 / "config.pkl").exists():
+        import pickle
+
+        with open(data2 / "config.pkl", "rb") as fh:
+            cfg = pickle.load(fh)
+        if isinstance(cfg, dict):
+            backend = cfg.get("lyrics_embedder_backend", "unknown")
     log(f"text backend under test: {backend}")
 
     zeroed = make_zeroed_copy(data2, results / "data2_zeroed_text")
@@ -104,16 +109,20 @@ def main():
             if c in df_text.columns]
     metrics = [c for c in ("Silhouette", "NMI", "ARI", "Purity")
                if c in df_text.columns]
+    import pandas as pd
+
     rows = []
     for _, r in df_text.iterrows():
         sel = np.ones(len(df_zero), bool)
         for k in keys:
-            sel &= (df_zero[k].astype(str) == str(r[k])).to_numpy()
+            # NaN-safe key compare (Arrow-backed astype(str) keeps NaN)
+            want = "" if pd.isna(r[k]) else str(r[k])
+            sel &= (df_zero[k].fillna("").astype(str) == want).to_numpy()
         zr = df_zero[sel]
         if len(zr) != 1:
             continue
         zr = zr.iloc[0]
-        row = {k: r[k] for k in keys}
+        row = {k: (None if pd.isna(r[k]) else r[k]) for k in keys}
         for m in metrics:
             if isinstance(r[m], float) and np.isfinite(r[m]):
                 row[m] = round(float(r[m]), 4)

@@ -73,8 +73,13 @@ class StandardScaler:
         return self
 
     def transform(self, x) -> np.ndarray:
-        xp = _xp(x)
-        out = (x - xp.asarray(self.mean)) / xp.asarray(self.scale)
+        if isinstance(x, np.ndarray):
+            # one output buffer, in-place divide: on ~1 GB mel matrices the
+            # naive (x-m)/s spends seconds allocating a second temporary
+            out = np.subtract(x, self.mean, dtype=np.result_type(x, self.mean))
+            np.divide(out, self.scale, out=out)
+            return out
+        out = (x - jnp.asarray(self.mean)) / jnp.asarray(self.scale)
         return np.asarray(out)
 
     def fit_transform(self, x) -> np.ndarray:

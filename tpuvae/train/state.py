@@ -66,11 +66,21 @@ def get_learning_rate(state: TrainState) -> float:
 
 def create_state(model, rng, example_inputs: tuple, learning_rate: float,
                  **init_kwargs) -> TrainState:
-    """Initialise variables from example inputs and build the train state."""
-    variables = model.init(
+    """Initialise variables from example inputs and build the train state.
+
+    ``model.init`` runs under ``jax.jit``: eager flax init dispatches
+    thousands of tiny ops, which costs ~2 minutes of RPC round trips on a
+    relay-attached TPU (measured: hybrid-VAE init 126.6 s eager → one
+    compile, persistently cached, then ~1 s).  Same values either way —
+    init is deterministic in the rng keys.
+    """
+
+    def _init(rngs, inputs):
+        return model.init(rngs, *inputs, **init_kwargs)
+
+    variables = jax.jit(_init)(
         {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
-        *example_inputs,
-        **init_kwargs,
+        example_inputs,
     )
     return TrainState.create(
         apply_fn=model.apply,
