@@ -347,6 +347,7 @@ def preprocess_basic(
             manifest=manifest, shard_keys=("features",),
             row_shape=row_shape, sample_offset=offset,
         )
+    t_asm = time.time()
     if manifest is not None:
         ids, arrays = manifest.load_all()
         by_id = {e.file_id: e for e in entries}
@@ -363,6 +364,7 @@ def preprocess_basic(
     else:
         features = (np.concatenate([o[0] for o in outs])
                     if outs else np.zeros((0, cfg.feature_dim)))
+    timer.stages["assemble"] = {"seconds": time.time() - t_asm}
     if not ok:
         raise ValueError("No audio files collected! Check paths and metadata.")
     labels = np.array([e.genre for e in ok])
@@ -428,6 +430,7 @@ def preprocess_advanced(
             row_shape=row_shape, sample_offset=offset,
         )
     streaming = False
+    t_asm = time.time()
     if manifest is not None:
         mel_bytes = manifest.total_rows() * cfg.n_mels * cfg.fixed_time_steps * 4
         streaming = cfg.assembly_mode == "stream" or (
@@ -467,6 +470,11 @@ def preprocess_advanced(
         raise ValueError(
             "No audio files decoded successfully! Check paths and formats."
         )
+    # shard reload / in-RAM concatenate: the last formerly-untimed ledger
+    # piece (net of assemble_stream, which times itself when streaming)
+    asm = time.time() - t_asm - timer.stages.get(
+        "assemble_stream", {}).get("seconds", 0.0)
+    timer.stages["assemble"] = {"seconds": asm}
     labels = np.array([e.genre for e in ok])
     with timer.stage("lyrics_embeddings", items=len(ok)):
         embeddings, embedder_backend = embed_lyrics(
