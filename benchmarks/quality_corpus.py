@@ -46,7 +46,7 @@ def main():
 
     from tpuvae.config import AdvancedPreprocessConfig, PreprocessConfig
     from tpuvae.io import generate_dataset
-    from tpuvae.parity import QUALITY_FLOORS, run_quality
+    from tpuvae.parity import quality_floors, run_quality
     from tpuvae.pipelines import preprocess_advanced, preprocess_basic
     from tpuvae.utils import RunLogger
 
@@ -83,17 +83,19 @@ def main():
             logger=logger)
         log(f"preprocess advanced: {time.time() - t0:.0f}s")
 
+    floors = quality_floors(separation)
     t0 = time.time()
     res = run_quality(str(root / "processed_data1"),
                       str(root / "processed_data2"),
-                      results_dir=str(root / "quality_run"))
+                      results_dir=str(root / "quality_run"),
+                      floors=floors)
     log(f"quality gate: {time.time() - t0:.0f}s  ok={res['ok']}")
     for p in res["problems"]:
         log(f"  PROBLEM: {p}")
     out = {"corpus": {"seed": seed, "separation": separation,
                       "clips": clips, "duration": duration},
            "ok": res["ok"], "problems": res["problems"],
-           "values": res["values"], "floors": QUALITY_FLOORS}
+           "values": res["values"], "floors": floors}
     print(json.dumps(out))
 
 

@@ -326,3 +326,21 @@ def test_checkpoint_manager_edge_paths(tmp_path, monkeypatch):
     found = latest_train_state_dir(plain)
     assert found is not None and found.name == "step_00000005"
     assert latest_train_state_dir(tmp_path / "nothing_here") is None
+
+
+def test_quality_floors_two_corpus_calibration():
+    """Floors are per-corpus-difficulty (VERDICT r4 #6): the default set
+    applies at separation>=0.9, the hard set below; hard floors must be
+    uniformly <= the default ones (same regression semantics, harder
+    corpus), and every key must exist in both sets."""
+    from tpuvae.parity import (
+        QUALITY_FLOORS,
+        QUALITY_FLOORS_HARD,
+        quality_floors,
+    )
+
+    assert quality_floors(1.0) == QUALITY_FLOORS
+    assert quality_floors(0.75) == QUALITY_FLOORS_HARD
+    assert set(QUALITY_FLOORS) == set(QUALITY_FLOORS_HARD)
+    for k in QUALITY_FLOORS:
+        assert QUALITY_FLOORS_HARD[k] <= QUALITY_FLOORS[k], k

@@ -97,6 +97,25 @@ def run_parity(
 # Quality gate: does the pipeline actually RECOVER planted structure?
 # -----------------------------------------------------------------------------
 
+# Two-corpus calibration (round 5, VERDICT r4 #6).  The floors are
+# properties of `io/synthetic.py`'s generator — CHANGING THE GENERATOR OR
+# ANY FLOOR REQUIRES RE-CALIBRATING ON BOTH CORPORA below (real TPU,
+# reference scale 1,344×30 s, `benchmarks/quality_corpus.py`):
+#
+#   corpus A — seed 11, separation 1.0 (the default generator):
+#     direct370 ARI 0.980 / purity 0.993; 290-d ARI 0.523 / purity 0.734;
+#     CVAE purity 0.679 (majority 0.25); Hybrid ARI 0.182–0.229;
+#     hybrid sil 0.665, simple sil 0.092.
+#   corpus B — seed 1337, separation 0.75 (genres blended 25 % toward the
+#     cross-genre mean — deliberately harder):
+#     direct370 ARI 0.672 / purity 0.844; 290-d ARI 0.392 / purity 0.705;
+#     CVAE purity 0.519; Hybrid ARI 0.103; sils 0.631 / 0.096.
+#
+# The Hybrid ARI BAND on corpus A (0.182 vs 0.229) comes from ≤2.4e-7
+# param-init rounding differences (eager vs jitted init on TPU) amplified
+# by 3-epoch training + the silhouette-chosen k — trained-metric floors
+# must sit well below the measured values, not at their edge; they gate
+# "learned nothing / collapsed", not "matched the best run ever".
 QUALITY_FLOORS = {
     # K-Means on the BASIC 370-d features involves no VAE training at all,
     # so a miss here means the DSP/normalization chain itself regressed —
@@ -104,8 +123,7 @@ QUALITY_FLOORS = {
     # filterbank constant degrades every run identically).  The strict
     # absolute bar lives HERE because the 370-d vector (with its 80 MFCC
     # timbre dims) recovers the planted genres at ARI ≥0.97 at both the
-    # tiny CPU-test corpus AND the 1,344×30 s reference-scale corpus
-    # (round-4 TPU measurement).
+    # tiny CPU-test corpus AND the 1,344×30 s reference-scale corpus A.
     "direct370_ari": 0.7,
     "direct370_purity": 0.85,
     # "Direct Spectral" (ref Conditional_VAE.py:454-459) clusters the
@@ -117,12 +135,33 @@ QUALITY_FLOORS = {
     # catching "features carry no genre signal".
     "direct_ari": 0.3,
     "direct_purity_margin": 0.4,   # above the majority-class share
-    # trained-model floors are intentionally loose: they gate "learned
-    # nothing / collapsed", not "matched the best run ever"
+    # trained-model floors are intentionally loose (see band note above)
     "cvae_purity_margin": 0.15,   # above the majority-class share
-    "hybrid_ari": 0.2,
+    "hybrid_ari": 0.1,            # measured band 0.182–0.229 on corpus A
     "silhouette": 0.0,
 }
+
+# Floors for the HARD corpus profile (separation ≤ 0.9): same regression
+# semantics, margins re-derived from corpus B's measured values above.
+QUALITY_FLOORS_HARD = {
+    "direct370_ari": 0.5,          # measured 0.672
+    "direct370_purity": 0.7,       # measured 0.844
+    "direct_ari": 0.2,             # measured 0.392
+    "direct_purity_margin": 0.3,   # measured margin 0.455
+    "cvae_purity_margin": 0.1,     # measured margin 0.269
+    "hybrid_ari": 0.05,            # measured 0.103
+    "silhouette": 0.0,
+}
+
+
+def quality_floors(separation: float = 1.0) -> dict:
+    """Floor set for a corpus difficulty (``io/synthetic.py`` separation).
+
+    Both sets are calibrated at reference scale on real TPU (see the
+    two-corpus table above); re-calibrate BOTH whenever a floor or the
+    generator changes.
+    """
+    return dict(QUALITY_FLOORS if separation >= 0.9 else QUALITY_FLOORS_HARD)
 
 
 def run_quality(
