@@ -210,6 +210,15 @@ def main():
     else:
         fn = jit_extractor(extract_basic_features, cfg)
         xs = [jnp.asarray(np.roll(clips, i, axis=0)) for i in range(3)]
+    # force the (large) input transfers to complete BEFORE the compile
+    # timer: jnp.asarray is async, and ~1 GB of pre-rowed batches at the
+    # relay's 20–40 MB/s otherwise bills ~30–100 s to "compile" (the r5
+    # mislabeled-COLD diagnosis — a true cache hit costs ~10–20 s here)
+    t0 = time.time()
+    for x_ in xs:
+        np.asarray(x_[:1, :1])
+    log(f"input transfer sync: {time.time() - t0:.1f}s "
+        f"({sum(int(x_.nbytes) for x_ in xs) / 2**20:.0f} MB)")
     t0 = time.time()
     np.asarray(fn(xs[0]))
     compile_s = time.time() - t0
