@@ -285,3 +285,30 @@ def test_quality_gate_recovers_planted_structure(preprocessed,
     for key in ("direct370_ari", "direct_ari", "cvae_purity", "hybrid_ari",
                 "simple_silhouette"):
         assert key in res["values"], res["values"]
+
+
+def test_extract_drain_worker_propagates_persist_failures(tmp_path,
+                                                         monkeypatch):
+    """Round-5 output overlap: shard writes run on a drain worker thread —
+    a persist failure there must surface in the caller, not vanish into
+    the pool (the failure-detection contract of SURVEY §5)."""
+    from tpuvae.io import generate_dataset
+    from tpuvae.io.resume import ExtractionManifest
+    from tpuvae.pipelines import preprocess_basic
+
+    root = tmp_path / "Datasets"
+    generate_dataset(root, clips_per_genre_lang=2, duration=1.0,
+                     include_jazz=False, seed=4)
+    cfg = PreprocessConfig(
+        duration=1.0, dataset_root=str(root),
+        metadata_csv=str(root / "updated_metadata.csv"),
+        output_dir=str(tmp_path / "out"), extract_batch=4,
+        max_samples_per_class=10,
+    )
+
+    def boom(self, ids, arrays):
+        raise OSError("disk full (synthetic)")
+
+    monkeypatch.setattr(ExtractionManifest, "add_shard", boom)
+    with pytest.raises(OSError, match="disk full"):
+        preprocess_basic(cfg, logger=RunLogger(echo=False), resume=True)
