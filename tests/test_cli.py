@@ -155,3 +155,25 @@ def test_global_flags_set_debug_and_profile(monkeypatch, capsys):
 def test_all_rejects_unknown_field(capsys):
     assert cli.main(["all", "--not_a_real_field=3"]) == 2
     assert "not_a_real_field" in capsys.readouterr().err
+
+
+def test_quality_command_separation_selects_floor_profile(monkeypatch,
+                                                          capsys):
+    """--separation routes to the matching two-corpus floor profile
+    (parity.quality_floors); explicit per-key overrides still win."""
+    import tpuvae.parity as parity
+
+    seen = {}
+
+    def fake(data1, data2, results_dir, floors, fast):
+        seen["floors"] = floors
+        return {"ok": True, "problems": [], "values": {}}
+
+    monkeypatch.setattr(parity, "run_quality", fake)
+    assert cli.main(["quality", "--separation=0.75"]) == 0
+    assert seen["floors"] == parity.QUALITY_FLOORS_HARD
+    assert cli.main(["quality"]) == 0
+    assert seen["floors"] == parity.QUALITY_FLOORS
+    assert cli.main(["quality", "--hybrid_ari=0.42"]) == 0
+    assert seen["floors"]["hybrid_ari"] == 0.42
+    capsys.readouterr()

@@ -323,9 +323,15 @@ def _dispatch(argv) -> int:
     if cmd == "quality":
         import json
 
-        from tpuvae.parity import QUALITY_FLOORS, run_quality
+        from tpuvae.parity import QUALITY_FLOORS, quality_floors, run_quality
 
-        floors = {k: float(extras[k]) for k in QUALITY_FLOORS if k in extras}
+        # --separation picks the floor profile the corpus was synthesized
+        # with (two-corpus calibration, parity.py); per-key overrides win.
+        # Floor keys are quality-only, so they ride in cfg_args — re-split
+        # (previously they were silently dropped: latent bug, round 5)
+        floors = quality_floors(float(extras.get("separation", 1.0)))
+        _, floor_args = _split_args(cfg_args, set(QUALITY_FLOORS))
+        floors.update({k: float(v) for k, v in floor_args.items()})
         res = run_quality(
             data1=extras.get("data1_dir", "processed_data1"),
             data2=extras.get("data2_dir", "processed_data2"),
