@@ -44,6 +44,10 @@ def _prior_records():
         try:
             d = json.loads(f.read_text())
             parsed = d.get("parsed") or {}
+            if parsed.get("note"):
+                # warm-only / CPU-fallback records are not measurements —
+                # they must neither count as fresh nor be carried forward
+                continue
             extra = parsed.get("extra") or {}
             recs.append((f.stem, extra))
         except Exception:
@@ -111,6 +115,10 @@ def main():
 
     warm_only = ("--warm-only" in sys.argv[1:]
                  or os.environ.get("TPUVAE_BENCH_WARM_ONLY") == "1")
+    if warm_only:
+        # argv flag and env var must agree everywhere downstream (the
+        # direct-launch path re-derives warm_only from the env var only)
+        os.environ["TPUVAE_BENCH_WARM_ONLY"] = "1"
     if os.environ.get("TPUVAE_BENCH_REEXEC") != "1":
         # warm-only runs get a generous default envelope: their job is to
         # pay every cold compile ONCE so the driver's real run is warm
@@ -263,12 +271,15 @@ def main():
             "reps_per_round": reps,
         },
     }
+    notes = []
     if fallback:
-        result["note"] = ("TPU relay unreachable at bench time; batched "
-                          "path measured on the CPU backend instead")
+        notes.append("TPU relay unreachable at bench time; batched "
+                     "path measured on the CPU backend instead")
     if warm_only:
-        result["note"] = ("warm-only run: compiles persisted to the XLA "
-                          "cache; timings are NOT measurements")
+        notes.append("warm-only run: compiles persisted to the XLA "
+                     "cache; timings are NOT measurements")
+    if notes:
+        result["note"] = "; ".join(notes)
     if not fallback:
         try:
             result["extra"] = _extra_metrics(cfg, clips, _T0, warm_only)
@@ -309,7 +320,9 @@ def _extra_metrics(cfg, clips, t_start, warm_only=False):
 
     def _remaining() -> float:
         if warm_only:
-            return 3600.0
+            # no 12% fence (warm-only never skips voluntarily) but the
+            # parent's kill time is real: keep 60s to emit the JSON
+            return kill_at - time.time() - 60.0
         return kill_at - time.time() - 0.12 * (kill_at - t_start)
 
     def timed(fn_, xs, reps=6):
@@ -452,7 +465,8 @@ def _extra_metrics(cfg, clips, t_start, warm_only=False):
     ]
 
     # never-driver-recorded blocks first (stable within each group)
-    blocks = _order_blocks(blocks, _fresh_keys_ever_recorded())
+    prior = _prior_records()
+    blocks = _order_blocks(blocks, _fresh_keys_ever_recorded(prior))
     log("extras order (never-driver-recorded first): "
         + ", ".join(n for n, _ in blocks))
 
@@ -467,7 +481,7 @@ def _extra_metrics(cfg, clips, t_start, warm_only=False):
         except Exception as exc:   # pragma: no cover - depends on backend
             log(f"extra[{name}]: failed: {exc!r}")
 
-    for k, src in _carry_stale(extra, _prior_records()):
+    for k, src in _carry_stale(extra, prior):
         log(f"extra[{k}]: carried forward from {src} (stale)")
     return extra
 

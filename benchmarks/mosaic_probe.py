@@ -1,4 +1,7 @@
-import sys; sys.path.insert(0, "/root/repo")
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from tpuvae.utils.cache import enable_compilation_cache
 enable_compilation_cache()
 import jax, numpy as np

@@ -146,7 +146,9 @@ def concurrent_load_bench(enc, waves, batch, n_clients, seconds):
             t.start()
         for t in threads:
             t.join()
-        all_lats = np.sort(np.concatenate([np.asarray(v) for v in lats]))
+        all_lats = np.concatenate([np.asarray(v) for v in lats])
+        if all_lats.size == 0:    # no request finished inside the window
+            return 0.0, float("nan"), float("nan")
         p50 = float(np.percentile(all_lats, 50)) * 1e3
         p99 = float(np.percentile(all_lats, 99)) * 1e3
         return sum(counts) / (time.time() - t0), p50, p99
@@ -167,9 +169,10 @@ def concurrent_load_bench(enc, waves, batch, n_clients, seconds):
                  f"{batcher.batches_run} device batches")
     finally:
         batcher.close()
+    speedup = rate_batched / rate_serial if rate_serial else float("nan")
     print(f"simple concurrent 1-clip requests x{n_clients} clients: "
           f"{rate_serial:.1f} req/s serialized -> {rate_batched:.1f} req/s "
-          f"micro-batched ({rate_batched / rate_serial:.1f}x; {stats})")
+          f"micro-batched ({speedup:.1f}x; {stats})")
     print(f"latency ms serialized p50={p50_s:.1f} p99={p99_s:.1f}; "
           f"micro-batched p50={p50_b:.1f} p99={p99_b:.1f}")
     import json
@@ -182,7 +185,8 @@ def concurrent_load_bench(enc, waves, batch, n_clients, seconds):
                     "micro_batched": {"req_per_s": round(rate_batched, 1),
                                       "p50_ms": round(p50_b, 1),
                                       "p99_ms": round(p99_b, 1)},
-                    "speedup": round(rate_batched / rate_serial, 2)}}))
+                    "speedup": (round(speedup, 2)
+                                if np.isfinite(speedup) else None)}}))
 
 
 if __name__ == "__main__":

@@ -180,7 +180,15 @@ def _dispatch(argv) -> int:
 
                 print(f"no dataset at {pre_cfg.dataset_root}; generating "
                       f"synthetic clips")
-                generate_dataset(pre_cfg.dataset_root)
+                # honor the generator flags (they ride in `extras`, so the
+                # unknown-field validation above can't reject them — without
+                # this they were silently dropped, the same bug class the
+                # round-5 quality command fixed)
+                generate_dataset(
+                    pre_cfg.dataset_root,
+                    seed=int(extras.get("seed_data", 42)),
+                    separation=float(extras.get("separation", 1.0)),
+                )
             if need_pre:
                 from tpuvae.pipelines import preprocess_basic
 

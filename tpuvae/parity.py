@@ -141,7 +141,7 @@ QUALITY_FLOORS = {
     "silhouette": 0.0,
 }
 
-# Floors for the HARD corpus profile (separation ≤ 0.9): same regression
+# Floors for the HARD corpus profile (separation ≤ 0.95): same regression
 # semantics, margins re-derived from corpus B's measured values above.
 QUALITY_FLOORS_HARD = {
     "direct370_ari": 0.5,          # measured 0.672
@@ -161,7 +161,9 @@ def quality_floors(separation: float = 1.0) -> dict:
     two-corpus table above); re-calibrate BOTH whenever a floor or the
     generator changes.
     """
-    return dict(QUALITY_FLOORS if separation >= 0.9 else QUALITY_FLOORS_HARD)
+    # default floors are calibrated at separation 1.0 ONLY; anything
+    # measurably blended (≤0.95) gets the hard profile
+    return dict(QUALITY_FLOORS if separation > 0.95 else QUALITY_FLOORS_HARD)
 
 
 def run_quality(

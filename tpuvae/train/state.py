@@ -71,8 +71,10 @@ def create_state(model, rng, example_inputs: tuple, learning_rate: float,
     ``model.init`` runs under ``jax.jit``: eager flax init dispatches
     thousands of tiny ops, which costs ~2 minutes of RPC round trips on a
     relay-attached TPU (measured: hybrid-VAE init 126.6 s eager → one
-    compile, persistently cached, then ~1 s).  Same values either way —
-    init is deterministic in the rng keys.
+    compile, persistently cached, then ~1 s).  Values are bit-identical
+    on CPU; on TPU, XLA fusion rounds the initializer chain differently
+    by ≤2.4e-7 — enough to move trained-metric outcomes at few-epoch
+    training (see parity.py's two-corpus calibration note).
     """
 
     def _init(rngs, inputs):
