@@ -356,11 +356,14 @@ def test_autotune_candidates_legal_and_budgeted():
             assert tn % 8 == 0 and tm % 128 == 0
             assert at.pairwise_tile_bytes(tn, tm, dp) <= at.VMEM_BUDGET_BYTES
         # analytic pick is the roofline-cheapest candidate within the
-        # measured tile ceiling (MAX_MEASURED_TILE, v5e A/B 2026-08-19)
+        # measured tile ceilings (MAX_MEASURED_TILE 2026-08-19;
+        # MAX_MEASURED_TILE_N, round-5 A/B 2026-08-21)
         tn, tm = at.pairwise_tiles_analytic(n, m, dp)
         assert (tn, tm) in cands
         assert max(tn, tm) <= at.MAX_MEASURED_TILE
-        pool = [t for t in cands if max(t) <= at.MAX_MEASURED_TILE] or cands
+        assert tn <= at.MAX_MEASURED_TILE_N
+        pool = [t for t in cands if max(t) <= at.MAX_MEASURED_TILE
+                and t[0] <= at.MAX_MEASURED_TILE_N] or cands
         best = min(at.pairwise_tile_cost(n, m, dp, a, b) for a, b in pool)
         assert at.pairwise_tile_cost(n, m, dp, tn, tm) == best
 
@@ -368,8 +371,8 @@ def test_autotune_candidates_legal_and_budgeted():
 def test_pairwise_tile_cost_penalizes_padding():
     """At N=1336 a 1024-tile pads the matmul to 2048x2048 — the model must
     prefer a tile with less dead work; at N=10240 the pick is the measured
-    512x512 winner (v5e tile A/B 2026-08-19: 29% over the uncapped
-    roofline favorite 1024x1024)."""
+    256x512 winner (round-5 v5e tile A/B: 14% over 512x512, 29% over the
+    uncapped roofline favorite 1024x1024)."""
     from tpuvae.ops import autotune as at
 
     c_small = at.pairwise_tile_cost(1336, 1336, 128, 256, 256)
@@ -377,7 +380,7 @@ def test_pairwise_tile_cost_penalizes_padding():
     assert c_small < c_big
     tn, tm = at.pairwise_tiles_analytic(1336, 1336, 128)
     assert max(tn, tm) <= 512
-    assert at.pairwise_tiles_analytic(10240, 10240, 128) == (512, 512)
+    assert at.pairwise_tiles_analytic(10240, 10240, 128) == (256, 512)
 
 
 def test_autotune_measures_once_and_persists(tmp_path, monkeypatch):

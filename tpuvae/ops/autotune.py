@@ -122,26 +122,34 @@ def pairwise_tile_cost(
     return max(flops / _FLOPS_PER_SEC, hbm / _BYTES_PER_SEC)
 
 
-# Measured cap on top of the roofline model: the v5e tile A/B
-# (benchmarks/pairwise_tiles_ab.py, 2026-08-19) has 1024-wide tiles losing
-# at every scale despite their lower modeled HBM re-streaming — 512x512
-# beat the model's 1024x1024 pick by 29% at N=10240 (11.8 s vs 16.6 s) and
-# tied the field winner at N=4096.  Bigger tiles leave Mosaic too little
-# VMEM headroom to double-buffer, so the model's budget overstates what
-# pipelines well.
+# Measured caps on top of the roofline model, from two v5e tile A/Bs
+# (benchmarks/pairwise_tiles_ab.py):
+#  * 2026-08-19: 1024-wide tiles lose at every scale despite their lower
+#    modeled HBM re-streaming — 512x512 beat the model's 1024x1024 pick by
+#    29% at N=10240 (11.8 s vs 16.6 s).  Bigger tiles leave Mosaic too
+#    little VMEM headroom to double-buffer.
+#  * 2026-08-21 (round 5): among ≤512 tiles, the asymmetric 256x512 wins
+#    the big-N geometry consistently — 11.0 s vs 512x512's 12.8 s (−14%)
+#    at N=10240 D=128 and 12.4 s vs 13.4 s at D=768, reproduced across
+#    relay sessions (small-N winners flap inside relay noise; the Pallas
+#    path only engages above N=4096 anyway, metrics.self_distances).
+#    A shorter first tile dim halves the per-step output block, again
+#    buying the pipeliner headroom.
 MAX_MEASURED_TILE = 512
+MAX_MEASURED_TILE_N = 256
 
 
 def pairwise_tiles_analytic(
     n: int, m: int, d_padded: int, budget: int = VMEM_BUDGET_BYTES
 ) -> tuple[int, int]:
     """Cheapest in-budget tile pair under the roofline model, capped at
-    the measured ceiling (ties prefer larger then squarer tiles — fewer
+    the measured ceilings (ties prefer larger then squarer tiles — fewer
     grid steps at equal modeled cost)."""
     cands = pairwise_tile_candidates(n, m, d_padded, budget)
     if not cands:
         return (8, 128)  # minimum legal tile always fits any real budget
-    capped = [t for t in cands if max(t) <= MAX_MEASURED_TILE]
+    capped = [t for t in cands
+              if max(t) <= MAX_MEASURED_TILE and t[0] <= MAX_MEASURED_TILE_N]
     return min(
         capped or cands,
         key=lambda t: (pairwise_tile_cost(n, m, d_padded, *t),
